@@ -1,0 +1,21 @@
+"""AME generative models (static and temporal), TPU-native."""
+
+from tame.models.params import AMEParams, build_params
+from tame.models.static_ame import StaticAMEModel, sample_static
+from tame.models.temporal_ame import (
+    TemporalAMEModel,
+    sample,
+    sample_latents,
+    sample_observations,
+)
+
+__all__ = [
+    "AMEParams",
+    "build_params",
+    "StaticAMEModel",
+    "TemporalAMEModel",
+    "sample",
+    "sample_latents",
+    "sample_observations",
+    "sample_static",
+]

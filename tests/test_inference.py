@@ -1,0 +1,222 @@
+"""Inference tests: structure invariants, fit behavior, convergence,
+cross-method differences.
+
+Coverage model: reference ``tests/test_inference.py`` — init shapes and
+structure invariants, fit runs and history lengths, ELBO finiteness,
+structure preservation after optimization, convergence detection, learning
+rate sensitivity, cross-method differences.  Adds: Jacobi vs Gauss-Seidel
+fixed-point agreement, and a vectorization-correctness oracle comparing the
+batched observation terms against a direct per-(i,j) loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tame.inference import (
+    TemporalAMENaiveMFVI,
+    TemporalAMEStructuredMFVI,
+    cavi,
+)
+from tame.models import TemporalAMEModel
+
+
+def _offdiag_cross_blocks(cov, r):
+    d = 2 + 2 * r
+    return np.concatenate([
+        np.asarray(cov[..., :2, 2:]).ravel(),
+        np.asarray(cov[..., 2:, :2]).ravel(),
+    ])
+
+
+class TestObservationTermOracle:
+    """The batched sufficient-statistics assembly must equal the direct
+    per-(i, j, t) Jacobian accumulation (reference ``naive_mf.py:284-376``)."""
+
+    def _direct_obs_terms(self, Y, X_mean, R_inv, i, t, r):
+        d = 2 + 2 * r
+        n = Y.shape[0]
+        P = np.zeros((d, d))
+        eta = np.zeros(d)
+        for j in range(n):
+            if j == i:
+                continue
+            J = np.zeros((2, d))
+            J[0, 0] = 1.0
+            J[0, 2:2 + r] = X_mean[j, t, 2 + r:]  # V_j
+            J[1, 1] = 1.0
+            J[1, 2 + r:] = X_mean[j, t, 2:2 + r]  # U_j
+            y = Y[i, j, t]
+            P += J.T @ R_inv @ J
+            eta += J.T @ R_inv @ y
+        return P, eta
+
+    def test_matches_direct_loop(self, temporal_data):
+        m = temporal_data["model"]
+        Y = np.asarray(temporal_data["Y"])
+        key = jax.random.PRNGKey(0)
+        X_mean = np.asarray(jax.random.normal(key, (m.n, m.T, m.d)))
+        R_inv = np.asarray(m.R_inv)
+
+        from tame.ops import dyad as dyad_ops
+        _, _, U, V = dyad_ops.split_state(jnp.asarray(X_mean), m.r)
+        P_all = np.asarray(cavi._obs_precision(U, V, jnp.asarray(R_inv)))
+        obs = cavi.precompute_obs_constants(jnp.asarray(Y),
+                                            jnp.asarray(R_inv))
+        eta_all = np.asarray(cavi._obs_nat_param(obs, U, V))
+
+        for (i, t) in [(0, 0), (3, 2), (m.n - 1, m.T - 1)]:
+            P_ref, eta_ref = self._direct_obs_terms(Y, X_mean, R_inv, i, t,
+                                                    m.r)
+            assert np.allclose(P_all[i, t], P_ref, atol=1e-4), (i, t)
+            assert np.allclose(eta_all[i, t], eta_ref, atol=1e-4), (i, t)
+
+
+class TestNaiveMF:
+    def test_init_shapes_and_diagonal(self, temporal_data):
+        vi = TemporalAMENaiveMFVI(temporal_data["model"])
+        m = temporal_data["model"]
+        assert vi.X_mean.shape == (m.n, m.T, m.d)
+        assert vi.X_cov.shape == (m.n, m.T, m.d, m.d)
+        cov = np.asarray(vi.X_cov)
+        off = cov - np.eye(m.d) * np.diagonal(cov, axis1=-2, axis2=-1)[..., None, :] * np.eye(m.d)
+        # all off-diagonal entries zero at init
+        mask = ~np.eye(m.d, dtype=bool)
+        assert np.allclose(cov[..., mask], 0.0)
+
+    def test_fit_runs_and_history(self, temporal_data):
+        vi = TemporalAMENaiveMFVI(temporal_data["model"], learning_rate=0.7)
+        h = vi.fit(max_iter=10, verbose=False)
+        assert len(h["elbo"]) == 10
+        assert len(h["reconstruction_error"]) == 10
+        assert np.all(np.isfinite(h["elbo"]))
+
+    def test_structure_preserved_after_fit(self, temporal_data):
+        vi = TemporalAMENaiveMFVI(temporal_data["model"], learning_rate=0.7)
+        vi.fit(max_iter=5, verbose=False)
+        cov = np.asarray(vi.X_cov)
+        d = cov.shape[-1]
+        mask = ~np.eye(d, dtype=bool)
+        assert np.allclose(cov[..., mask], 0.0, atol=1e-8)
+
+    def test_predict_forward(self, temporal_data):
+        m = temporal_data["model"]
+        vi = TemporalAMENaiveMFVI(m)
+        pred = vi.predict_forward(n_steps=3)
+        assert pred.shape == (m.n, 3, m.d)
+        # AR(1) with phi<1: prediction magnitudes decay
+        norms = np.linalg.norm(np.asarray(pred), axis=-1).mean(0)
+        assert norms[2] < norms[0] + 1e-6
+
+
+class TestStructuredMF:
+    def test_good_has_full_covariance(self, temporal_data):
+        vi = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                       factorization="good")
+        vi.fit(max_iter=3, verbose=False)
+        cross = _offdiag_cross_blocks(vi.X_cov, vi.r)
+        assert np.abs(cross).max() > 0  # cross blocks populated
+
+    def test_bad_zero_cross_blocks_preserved(self, temporal_data):
+        vi = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                       factorization="bad",
+                                       learning_rate=0.7)
+        vi.fit(max_iter=5, verbose=False)
+        cross = _offdiag_cross_blocks(vi.X_cov, vi.r)
+        assert np.allclose(cross, 0.0, atol=1e-8)
+
+    def test_invalid_factorization_raises(self, temporal_data):
+        with pytest.raises(ValueError):
+            TemporalAMEStructuredMFVI(temporal_data["model"],
+                                      factorization="ugly")
+
+    def test_requires_data(self, temporal_network_params):
+        model = TemporalAMEModel(**temporal_network_params)
+        with pytest.raises(ValueError):
+            TemporalAMEStructuredMFVI(model)
+
+    def test_factorization_type(self, temporal_data):
+        vi = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                       factorization="bad")
+        assert vi.get_factorization_type() == "bad"
+
+    def test_covariances_positive_definite(self, temporal_data):
+        vi = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                       factorization="good",
+                                       learning_rate=0.7)
+        vi.fit(max_iter=10, verbose=False)
+        eigs = np.linalg.eigvalsh(np.asarray(vi.X_cov))
+        assert np.all(eigs > 0)
+
+
+class TestFitBehavior:
+    def test_elbo_improves(self, temporal_data):
+        vi = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                       factorization="good",
+                                       learning_rate=0.7)
+        h = vi.fit(max_iter=30, verbose=False)
+        assert h["elbo"][-1] > h["elbo"][0]
+        assert h["reconstruction_error"][-1] < h["reconstruction_error"][0]
+
+    def test_convergence_detection(self, temporal_data):
+        """With a loose tolerance the fit should stop before max_iter.
+
+        Jacobi updates need more damping than the reference's Gauss-Seidel
+        sweep at the same problem size, hence lr=0.5 here."""
+        vi = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                       factorization="good",
+                                       learning_rate=0.5)
+        h = vi.fit(max_iter=200, tolerance=1e-2, verbose=False)
+        assert len(h["elbo"]) < 200
+
+    def test_learning_rate_sensitivity(self, temporal_data):
+        """Higher damping moves faster initially
+        (reference ``test_inference.py:247-266``)."""
+        slow = TemporalAMENaiveMFVI(temporal_data["model"],
+                                    learning_rate=0.01)
+        fast = TemporalAMENaiveMFVI(temporal_data["model"],
+                                    learning_rate=0.7)
+        hs = slow.fit(max_iter=5, verbose=False)
+        hf = fast.fit(max_iter=5, verbose=False)
+        assert (hf["reconstruction_error"][-1]
+                < hs["reconstruction_error"][-1])
+
+    def test_methods_differ(self, temporal_data):
+        naive = TemporalAMENaiveMFVI(temporal_data["model"],
+                                     learning_rate=0.7)
+        good = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                         factorization="good",
+                                         learning_rate=0.7)
+        hn = naive.fit(max_iter=10, verbose=False)
+        hg = good.fit(max_iter=10, verbose=False)
+        assert not np.allclose(np.asarray(naive.X_cov),
+                               np.asarray(good.X_cov))
+
+    def test_verbose_output(self, temporal_data, capsys):
+        vi = TemporalAMENaiveMFVI(temporal_data["model"], learning_rate=0.7)
+        vi.fit(max_iter=3, verbose=True, check_every=1)
+        out = capsys.readouterr().out
+        assert "ELBO" in out
+        assert "Iter" in out
+
+
+class TestJacobiVsSeq:
+    def test_fixed_points_agree(self):
+        """Jacobi (batched) and Gauss-Seidel (reference order) must reach the
+        same fixed point on a well-damped problem."""
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1, seed=11)
+        model.generate_data()
+        vj = TemporalAMEStructuredMFVI(model, factorization="good",
+                                       learning_rate=0.7,
+                                       update_mode="jacobi")
+        vs = TemporalAMEStructuredMFVI(model, factorization="good",
+                                       learning_rate=0.7, update_mode="seq")
+        vj.fit(max_iter=300, tolerance=1e-9, verbose=False)
+        vs.fit(max_iter=300, tolerance=1e-9, verbose=False)
+        mse_j = model.compute_temporal_reconstruction_error(vj.X_mean)
+        mse_s = model.compute_temporal_reconstruction_error(vs.X_mean)
+        assert abs(mse_j - mse_s) / mse_s < 0.05
+        # state means agree closely at the common fixed point
+        assert np.allclose(np.asarray(vj.X_mean), np.asarray(vs.X_mean),
+                           atol=0.05)
