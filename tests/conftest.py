@@ -21,6 +21,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 import pytest  # noqa: E402
 
+# The TPU plugin registers itself regardless of JAX_PLATFORMS; the config
+# update is what actually pins the platform.
+if not os.environ.get("TAME_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+
 # Persistent compilation cache: repeated pytest runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
