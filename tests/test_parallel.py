@@ -1,0 +1,97 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed execution to mirror (SURVEY.md §3.4); these
+validate the new framework's mesh layouts: sharded fits must produce the
+same numbers as single-device fits.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tame.inference import cavi
+from tame.models import TemporalAMEModel
+from tame.parallel import make_mesh, obs_sharding, shard_fit_inputs, state_sharding
+
+requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs 8 virtual devices")
+
+
+def _fit(Y, params, init, **kw):
+    return cavi.fit_cavi(Y, params, init, structure="full",
+                         learning_rate=0.7, max_iter=20, **kw)
+
+
+@pytest.fixture
+def sharded_problem():
+    model = TemporalAMEModel(n_nodes=16, n_time=8, latent_dim=2, seed=5)
+    Y, _ = model.generate_data(return_latents=True)
+    init = cavi.init_state(jax.random.PRNGKey(0), model.n, model.T, model.d,
+                           "full", 0.1, 0.5)
+    return model, Y, init
+
+
+@requires_8
+class TestShardedFit:
+    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 2), (1, 2)])
+    def test_sharded_matches_single_device(self, sharded_problem, mesh_shape):
+        model, Y, init = sharded_problem
+        ref = _fit(Y, model.params, init)
+
+        nodes_ax, time_ax = mesh_shape
+        mesh = make_mesh(nodes=nodes_ax, time=time_ax,
+                         devices=jax.devices()[:nodes_ax * time_ax])
+        Y_s, init_s = shard_fit_inputs(mesh, Y, init)
+        out = _fit(Y_s, model.params, init_s)
+
+        assert np.allclose(np.asarray(ref.X_mean), np.asarray(out.X_mean),
+                           atol=1e-4)
+        ref_elbo = np.asarray(ref.elbo_history)[:int(ref.n_iter)]
+        out_elbo = np.asarray(out.elbo_history)[:int(out.n_iter)]
+        assert np.allclose(ref_elbo, out_elbo, rtol=1e-4)
+
+    def test_output_sharding_preserved(self, sharded_problem):
+        model, Y, init = sharded_problem
+        mesh = make_mesh(nodes=4, time=2, devices=jax.devices()[:8])
+        Y_s, init_s = shard_fit_inputs(mesh, Y, init)
+        out = _fit(Y_s, model.params, init_s)
+        # X_mean should come back sharded over the mesh, not replicated
+        assert len(out.X_mean.sharding.device_set) == 8
+
+    def test_batch_axis_vmap_fits(self):
+        """Replicate fits sharded over the batch axis (the sensitivity-sweep
+        pattern, SURVEY.md §3.5)."""
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1, seed=2)
+        params = model.params
+        keys = jax.random.split(jax.random.PRNGKey(1), 8)
+
+        from tame.models import sample
+
+        def one_fit(key):
+            Y, _ = sample(params, key, 8, 4)
+            init = cavi.init_state(key, 8, 4, 4, "full", 0.1, 0.5)
+            out = cavi.fit_cavi(Y, params, init, structure="full",
+                                learning_rate=0.7, max_iter=10)
+            return out.mse_history[9]
+
+        mses = jax.vmap(one_fit)(keys)
+        assert mses.shape == (8,)
+        assert np.all(np.isfinite(np.asarray(mses)))
+        # distinct keys -> distinct data -> distinct results (fixes the
+        # reference's broken-replicate-seed bug, SURVEY.md §2C-1)
+        assert len(set(np.asarray(mses).round(6).tolist())) > 1
+
+
+@requires_8
+def test_graft_entry_dryrun():
+    import __graft_entry__
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__
+    fn, args = __graft_entry__.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.isfinite(float(out[2]))
