@@ -14,6 +14,14 @@ from tame.inference.engine import (
     TemporalAMENaiveMFVI,
     TemporalAMEStructuredMFVI,
 )
+from tame.inference.hmc import TemporalAMEHMC, run_hmc
+from tame.inference.logprob import (
+    log_joint,
+    log_likelihood,
+    log_prior,
+    make_logdensity_fn,
+)
+from tame.inference.smc import TemporalAMESMC, run_smc
 
 __all__ = [
     "CaviState",
@@ -26,4 +34,12 @@ __all__ = [
     "TemporalAMECaviVI",
     "TemporalAMENaiveMFVI",
     "TemporalAMEStructuredMFVI",
+    "TemporalAMEHMC",
+    "TemporalAMESMC",
+    "run_hmc",
+    "run_smc",
+    "log_joint",
+    "log_likelihood",
+    "log_prior",
+    "make_logdensity_fn",
 ]

@@ -1,0 +1,241 @@
+"""Hamiltonian Monte Carlo for the temporal AME posterior.
+
+TPU-native design (no counterpart in the reference; mandated by the north
+star): the leapfrog integrator runs on the full latent tensor (n, T, d) with
+batched gradient evaluations (each gradient is the O(n^2 T) einsum stack of
+``tame.inference.logprob``); chains are ``vmap``-ed and shard over the
+``batch`` mesh axis.
+
+Adaptation:
+* step size — Nesterov dual averaging toward a target acceptance rate
+  (Hoffman & Gelman 2014, Algorithm 5 parameters);
+* diagonal mass matrix — either identity, adapted from warmup-sample
+  variances, or (the framework-native trick) preconditioned with the
+  variational variances of a short CAVI fit (``precondition_from_cavi``),
+  which matches the posterior scale per (node, time, dim) without spending
+  warmup on covariance estimation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+
+class HMCState(NamedTuple):
+    position: Array
+    logdensity: Array
+    grad: Array
+
+
+class DualAveragingState(NamedTuple):
+    log_eps: Array
+    log_eps_avg: Array
+    grad_avg: Array
+    mu: Array
+    count: Array
+
+
+class HMCSamples(NamedTuple):
+    positions: Array        # (num_samples, *position_shape)
+    accept_prob: Array      # (num_samples,) mean MH accept probability
+    step_size: Array        # final adapted step size
+    logdensities: Array     # (num_samples,)
+
+
+def _leapfrog(logdensity_fn: Callable, position: Array, momentum: Array,
+              grad: Array, step_size: Array, inv_mass: Array,
+              num_steps: int) -> Tuple[Array, Array, Array, Array]:
+    """Velocity-Verlet integration of Hamiltonian dynamics; returns
+    (position, momentum, logdensity, grad) at the trajectory end."""
+
+    def body(carry, _):
+        pos, mom, g = carry
+        mom = mom + 0.5 * step_size * g
+        pos = pos + step_size * inv_mass * mom
+        logp, g = jax.value_and_grad(logdensity_fn)(pos)
+        mom = mom + 0.5 * step_size * g
+        return (pos, mom, g), logp
+
+    (position, momentum, grad), logps = jax.lax.scan(
+        body, (position, momentum, grad), None, length=num_steps)
+    return position, momentum, logps[-1], grad
+
+
+def _kinetic(momentum: Array, inv_mass: Array) -> Array:
+    return 0.5 * jnp.sum(momentum * inv_mass * momentum)
+
+
+def hmc_kernel(logdensity_fn: Callable, state: HMCState, key: Array,
+               step_size: Array, inv_mass: Array, num_leapfrog: int
+               ) -> Tuple[HMCState, Array]:
+    """One HMC transition; returns (new_state, accept_probability)."""
+    k_mom, k_acc = jax.random.split(key)
+    # momentum ~ N(0, M) with M = 1 / inv_mass
+    momentum = (jax.random.normal(k_mom, state.position.shape)
+                / jnp.sqrt(inv_mass))
+    energy0 = -state.logdensity + _kinetic(momentum, inv_mass)
+
+    pos, mom, logp, grad = _leapfrog(
+        logdensity_fn, state.position, momentum, state.grad, step_size,
+        inv_mass, num_leapfrog)
+    energy1 = -logp + _kinetic(mom, inv_mass)
+
+    delta = energy0 - energy1
+    delta = jnp.where(jnp.isnan(delta), -jnp.inf, delta)
+    accept_prob = jnp.minimum(1.0, jnp.exp(delta))
+    accept = jax.random.uniform(k_acc) < accept_prob
+
+    new_state = HMCState(
+        position=jnp.where(accept, pos, state.position),
+        logdensity=jnp.where(accept, logp, state.logdensity),
+        grad=jnp.where(accept, grad, state.grad),
+    )
+    return new_state, accept_prob
+
+
+def _da_init(step_size: Array) -> DualAveragingState:
+    return DualAveragingState(
+        log_eps=jnp.log(step_size),
+        log_eps_avg=jnp.log(step_size),
+        grad_avg=jnp.asarray(0.0),
+        mu=jnp.log(10.0 * step_size),
+        count=jnp.asarray(0.0),
+    )
+
+
+def _da_update(da: DualAveragingState, accept_prob: Array,
+               target: float = 0.8, gamma: float = 0.05, t0: float = 10.0,
+               kappa: float = 0.75) -> DualAveragingState:
+    count = da.count + 1.0
+    w = 1.0 / (count + t0)
+    grad_avg = (1.0 - w) * da.grad_avg + w * (target - accept_prob)
+    log_eps = da.mu - jnp.sqrt(count) / gamma * grad_avg
+    eta = count ** (-kappa)
+    log_eps_avg = eta * log_eps + (1.0 - eta) * da.log_eps_avg
+    return DualAveragingState(log_eps=log_eps, log_eps_avg=log_eps_avg,
+                              grad_avg=grad_avg, mu=da.mu, count=count)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("logdensity_fn", "num_warmup",
+                                    "num_samples", "num_leapfrog",
+                                    "target_accept", "thin"))
+def run_hmc(logdensity_fn: Callable, init_position: Array, key: Array, *,
+            num_warmup: int = 200, num_samples: int = 200,
+            num_leapfrog: int = 16, initial_step_size: float = 0.01,
+            inv_mass: Optional[Array] = None, target_accept: float = 0.8,
+            thin: int = 1) -> HMCSamples:
+    """Run one HMC chain: dual-averaging warmup, then sampling.
+
+    ``inv_mass`` is a per-coordinate inverse mass (posterior variance
+    scale); defaults to identity.  vmap over (init_position, key) for
+    multiple chains.
+    """
+    if inv_mass is None:
+        inv_mass = jnp.ones_like(init_position)
+
+    logp, grad = jax.value_and_grad(logdensity_fn)(init_position)
+    state = HMCState(position=init_position, logdensity=logp, grad=grad)
+
+    # -- warmup: adapt step size ------------------------------------------
+    def warm_body(carry, k):
+        state, da = carry
+        state, accept_prob = hmc_kernel(
+            logdensity_fn, state, k, jnp.exp(da.log_eps), inv_mass,
+            num_leapfrog)
+        da = _da_update(da, accept_prob, target=target_accept)
+        return (state, da), None
+
+    k_warm, k_sample = jax.random.split(key)
+    (state, da), _ = jax.lax.scan(
+        warm_body, (state, _da_init(jnp.asarray(initial_step_size))),
+        jax.random.split(k_warm, num_warmup))
+    step_size = jnp.exp(da.log_eps_avg)
+
+    # -- sampling ----------------------------------------------------------
+    def sample_body(state, k):
+        def inner(state, kk):
+            state, accept_prob = hmc_kernel(
+                logdensity_fn, state, kk, step_size, inv_mass, num_leapfrog)
+            return state, accept_prob
+
+        state, aps = jax.lax.scan(inner, state, jax.random.split(k, thin))
+        return state, (state.position, aps.mean(), state.logdensity)
+
+    _, (positions, accept_probs, logps) = jax.lax.scan(
+        sample_body, state, jax.random.split(k_sample, num_samples))
+    return HMCSamples(positions=positions, accept_prob=accept_probs,
+                      step_size=step_size, logdensities=logps)
+
+
+def precondition_from_cavi(Y, params, structure: str = "full",
+                           warm_iters: int = 50, learning_rate: float = 0.5,
+                           seed: int = 0):
+    """Run a short CAVI fit and return ``(init_position, inv_mass)``:
+    the variational means as the chain start and the variational variances
+    as the diagonal inverse mass.  CAVI costs a handful of iterations and
+    removes the need for covariance adaptation during warmup."""
+    from tame.inference import cavi
+
+    n, _, T, _ = Y.shape
+    d = params.d
+    init = cavi.init_state(jax.random.PRNGKey(seed), n, T, d, structure,
+                           0.1, 0.5)
+    out = cavi.fit_cavi(Y, params, init, structure=structure,
+                        update_mode="jacobi", max_iter=warm_iters,
+                        learning_rate=learning_rate)
+    variances = jnp.diagonal(out.X_cov, axis1=-2, axis2=-1)  # (n, T, d)
+    return out.X_mean, jnp.clip(variances, 1e-6, None)
+
+
+class TemporalAMEHMC:
+    """HMC posterior sampler with the reference-compatible class feel.
+
+    Chains are vmapped; shard them over the ``batch`` mesh axis for
+    multi-chip scaling (see ``tame.parallel``).
+    """
+
+    def __init__(self, model, num_chains: int = 4, num_leapfrog: int = 16,
+                 seed: int = 0, precondition: bool = True):
+        if model.Y is None:
+            raise ValueError(
+                "Model has no data. Call model.generate_data() first.")
+        self.model = model
+        self.Y = jnp.asarray(model.Y)
+        self.num_chains = num_chains
+        self.num_leapfrog = num_leapfrog
+        self.seed = seed
+        self.precondition = precondition
+
+        from tame.inference.logprob import make_logdensity_fn
+
+        self._logdensity = make_logdensity_fn(model.params, self.Y)
+
+    def sample(self, num_warmup: int = 200, num_samples: int = 200,
+               thin: int = 1) -> HMCSamples:
+        """Run ``num_chains`` chains; returns stacked samples with leading
+        axes (chains, num_samples)."""
+        key = jax.random.PRNGKey(self.seed)
+        k_init, k_chains = jax.random.split(key)
+
+        if self.precondition:
+            center, inv_mass = precondition_from_cavi(
+                self.Y, self.model.params, seed=self.seed)
+        else:
+            center = jnp.zeros((self.model.n, self.model.T, self.model.d))
+            inv_mass = jnp.ones_like(center)
+
+        inits = center[None] + 0.01 * jax.random.normal(
+            k_init, (self.num_chains,) + center.shape)
+        keys = jax.random.split(k_chains, self.num_chains)
+
+        run = functools.partial(
+            run_hmc, self._logdensity,
+            num_warmup=num_warmup, num_samples=num_samples,
+            num_leapfrog=self.num_leapfrog, inv_mass=inv_mass, thin=thin)
+        return jax.vmap(lambda pos, k: run(pos, k))(inits, keys)

@@ -1,0 +1,197 @@
+"""Tests for the probabilistic layer: log-prob, HMC, SMC.
+
+Validation strategy (north-star config 4): the vectorized log densities are
+checked against direct numpy computation; HMC/SMC posterior means are
+cross-validated against the CAVI variational means within loose Monte-Carlo
+error on a tiny model.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tame.inference import (
+    TemporalAMEHMC,
+    TemporalAMESMC,
+    log_joint,
+    log_likelihood,
+    log_prior,
+    make_logdensity_fn,
+    run_hmc,
+    run_smc,
+)
+from tame.inference.smc import effective_sample_size, systematic_resample
+from tame.models import TemporalAMEModel
+
+LOG2PI = np.log(2 * np.pi)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    model = TemporalAMEModel(n_nodes=6, n_time=3, latent_dim=1,
+                             ar_coefficient=0.8, seed=7)
+    Y, X = model.generate_data(return_latents=True)
+    return model, np.asarray(Y), np.asarray(X)
+
+
+class TestLogProb:
+    def test_log_prior_matches_numpy(self, tiny):
+        model, Y, X = tiny
+        params = model.params
+        S0 = np.asarray(params.Sigma0)
+        Q = np.asarray(params.Q)
+        Phi = np.asarray(params.Phi)
+        n, T, d = X.shape
+
+        expected = 0.0
+        S0_inv = np.linalg.inv(S0)
+        Q_inv = np.linalg.inv(Q)
+        for i in range(n):
+            x0 = X[i, 0]
+            expected += -0.5 * (x0 @ S0_inv @ x0
+                                + np.linalg.slogdet(S0)[1] + d * LOG2PI)
+            for t in range(1, T):
+                r = X[i, t] - Phi @ X[i, t - 1]
+                expected += -0.5 * (r @ Q_inv @ r
+                                   + np.linalg.slogdet(Q)[1] + d * LOG2PI)
+        got = float(log_prior(params, jnp.asarray(X)))
+        assert got == pytest.approx(expected, rel=1e-4)
+
+    def test_log_likelihood_matches_numpy(self, tiny):
+        model, Y, X = tiny
+        params = model.params
+        R = np.asarray(params.R)
+        R_inv = np.linalg.inv(R)
+        n, T, d = X.shape
+        r_dim = model.r
+
+        expected = 0.0
+        for t in range(T):
+            a = X[:, t, 0]
+            b = X[:, t, 1]
+            U = X[:, t, 2:2 + r_dim]
+            V = X[:, t, 2 + r_dim:]
+            for i in range(n):
+                for j in range(i + 1, n):
+                    mu = np.array([a[i] + b[j] + U[i] @ V[j],
+                                   a[j] + b[i] + U[j] @ V[i]])
+                    resid = Y[i, j, t] - mu
+                    expected += -0.5 * (resid @ R_inv @ resid
+                                        + np.linalg.slogdet(R)[1]
+                                        + 2 * LOG2PI)
+        got = float(log_likelihood(params, jnp.asarray(Y), jnp.asarray(X)))
+        assert got == pytest.approx(expected, rel=1e-4)
+
+    def test_log_joint_is_sum(self, tiny):
+        model, Y, X = tiny
+        params = model.params
+        lj = float(log_joint(params, jnp.asarray(Y), jnp.asarray(X)))
+        lp = float(log_prior(params, jnp.asarray(X)))
+        ll = float(log_likelihood(params, jnp.asarray(Y), jnp.asarray(X)))
+        assert lj == pytest.approx(lp + ll, rel=1e-5)
+
+    def test_grad_finite(self, tiny):
+        model, Y, X = tiny
+        fn = make_logdensity_fn(model.params, jnp.asarray(Y))
+        g = jax.grad(fn)(jnp.asarray(X))
+        assert g.shape == X.shape
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    def test_true_latents_beat_noise(self, tiny):
+        """log p(Y|X_true) must dominate log p(Y|noise)."""
+        model, Y, X = tiny
+        fn = make_logdensity_fn(model.params, jnp.asarray(Y))
+        noise = jax.random.normal(jax.random.PRNGKey(0), X.shape)
+        assert float(fn(jnp.asarray(X))) > float(fn(noise))
+
+
+class TestHMC:
+    def test_chain_runs_and_mixes(self, tiny):
+        model, Y, X = tiny
+        hmc = TemporalAMEHMC(model, num_chains=2, num_leapfrog=8, seed=1)
+        out = hmc.sample(num_warmup=50, num_samples=50)
+        assert out.positions.shape == (2, 50) + X.shape
+        assert np.all(np.isfinite(np.asarray(out.positions)))
+        accept = np.asarray(out.accept_prob).mean()
+        assert 0.4 < accept <= 1.0  # dual averaging targeted 0.8
+
+    def test_posterior_mean_matches_cavi(self, tiny):
+        """North-star config 4: HMC posterior means validate the SMF means
+        within loose MC error — compared in dyadic-mean space, which is the
+        identified quantity."""
+        from tame.inference import TemporalAMEStructuredMFVI
+        from tame.ops import dyad as dyad_ops
+
+        model, Y, X = tiny
+        vi = TemporalAMEStructuredMFVI(model, factorization="good",
+                                       learning_rate=0.7)
+        vi.fit(max_iter=100, verbose=False)
+
+        hmc = TemporalAMEHMC(model, num_chains=2, num_leapfrog=16, seed=3)
+        out = hmc.sample(num_warmup=150, num_samples=150)
+        # The latent X is identified only up to rotations/sign flips, so the
+        # comparison lives in dyadic-mean space: average mu(X_s) over
+        # samples (per chain, then across chains).
+        samples = jnp.asarray(out.positions).reshape(
+            (-1,) + out.positions.shape[2:])
+        mu_hmc = np.asarray(jnp.mean(jax.vmap(
+            lambda Xs: dyad_ops.dyadic_mean_temporal(Xs, model.r)
+        )(samples), axis=0))
+        mu_vi = np.asarray(dyad_ops.dyadic_mean_temporal(vi.X_mean, model.r))
+        mask = ~np.eye(model.n, dtype=bool)
+        corr = np.corrcoef(mu_vi[mask].ravel(), mu_hmc[mask].ravel())[0, 1]
+        assert corr > 0.9
+        rmse = np.sqrt(((mu_vi[mask] - mu_hmc[mask]) ** 2).mean())
+        scale = np.abs(mu_vi[mask]).mean() + 1e-8
+        assert rmse / scale < 0.6
+
+    def test_run_hmc_standard_normal(self):
+        """Sanity: HMC samples a 2-D standard normal correctly."""
+        fn = lambda x: -0.5 * jnp.sum(x ** 2)
+        out = run_hmc(fn, jnp.zeros(2), jax.random.PRNGKey(0),
+                      num_warmup=200, num_samples=500, num_leapfrog=8,
+                      initial_step_size=0.5)
+        samples = np.asarray(out.positions)
+        assert abs(samples.mean()) < 0.25
+        assert abs(samples.std() - 1.0) < 0.25
+
+
+class TestSMC:
+    def test_systematic_resample_uniform_weights(self):
+        idx = np.asarray(systematic_resample(
+            jax.random.PRNGKey(0), jnp.zeros(16)))
+        # uniform weights -> every particle survives exactly once
+        assert sorted(idx.tolist()) == list(range(16))
+
+    def test_ess(self):
+        assert float(effective_sample_size(jnp.zeros(10))) == pytest.approx(10.0)
+        concentrated = jnp.array([0.0] + [-100.0] * 9)
+        assert float(effective_sample_size(concentrated)) == pytest.approx(
+            1.0, abs=1e-3)
+
+    def test_smc_runs(self, tiny):
+        model, Y, X = tiny
+        smc = TemporalAMESMC(model, num_particles=64, num_stages=8,
+                             num_moves=2, seed=0)
+        result = smc.sample()
+        assert result.particles.shape == (64,) + X.shape
+        assert np.all(np.isfinite(np.asarray(result.particles)))
+        assert np.isfinite(float(result.log_evidence))
+        ess = np.asarray(result.ess_history)
+        assert np.all(ess >= 1.0) and np.all(ess <= 64.0)
+
+    def test_smc_posterior_tracks_truth(self, tiny):
+        """The SMC posterior-mean dyadic structure should correlate with the
+        observed data far better than the prior mean (zero)."""
+        from tame.ops import dyad as dyad_ops
+
+        model, Y, X = tiny
+        smc = TemporalAMESMC(model, num_particles=128, num_stages=12,
+                             num_moves=3, seed=1)
+        result = smc.sample()
+        pm = smc.posterior_mean(result)
+        mu = np.asarray(dyad_ops.dyadic_mean_temporal(pm, model.r))
+        mask = ~np.eye(model.n, dtype=bool)
+        corr = np.corrcoef(mu[mask].ravel(), Y[mask].ravel())[0, 1]
+        assert corr > 0.5
