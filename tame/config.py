@@ -66,6 +66,9 @@ class InferenceConfig:
       * ``"jacobi"``  — all (node, time) factors updated simultaneously from
         the previous iterate.  Fully batched; the TPU-native default.  Same
         fixed points as the reference's sweep, different trajectory.
+      * ``"block"``   — block Gauss–Seidel: nodes in a few sequential
+        groups, each group batched; near-GS stability at high damping with
+        full TPU parallelism inside a group.  Preferred at large n.
       * ``"seq"``     — Gauss–Seidel sweep over nodes (and times within a
         node), matching the reference trajectory semantics
         (``naive_mf.py:203-205``, ``naive_mf.py:235``).  Compiled via
@@ -79,7 +82,7 @@ class InferenceConfig:
     max_iter: int = 100
     tolerance: float = 1e-4
     patience: int = 3  # consecutive small-rel-change iters (base.py:183-191)
-    update_mode: str = "jacobi"
+    update_mode: str = "block"
     seed: int = 42
 
     def __post_init__(self):
@@ -88,7 +91,7 @@ class InferenceConfig:
                 f"Unknown structure '{self.structure}' "
                 "(expected 'diag', 'full' or 'block')"
             )
-        if self.update_mode not in ("jacobi", "seq"):
+        if self.update_mode not in ("jacobi", "block", "seq"):
             raise ValueError(f"Unknown update_mode '{self.update_mode}'")
 
 

@@ -53,6 +53,11 @@ from jax import Array
 
 from tame.models.params import AMEParams
 from tame.ops import dyad as dyad_ops
+from tame.ops.cholesky import (
+    batched_logdet_spd,
+    batched_spd_solve,
+    batched_spd_solve_inv,
+)
 from tame.ops.dyad import HIGHEST
 
 _LOG2PI = 1.8378770664093453  # log(2 * pi)
@@ -208,14 +213,10 @@ def _prior_nat_param(pri: PriorMatrices, X_mean: Array) -> Array:
 def _solve_diag(P: Array, eta: Array) -> Tuple[Array, Array]:
     """Naive-MF policy: full-precision mean solve, diagonal variances
     ``1 / (diag(P) + 1e-8)`` (reference ``naive_mf.py:266-274``)."""
-    mu = jnp.linalg.solve(P, eta[..., None])[..., 0]
+    mu = batched_spd_solve(P, eta)
     var = 1.0 / (jnp.diagonal(P, axis1=-2, axis2=-1) + 1e-8)
     cov = var[..., None] * jnp.eye(P.shape[-1], dtype=P.dtype)
     return mu, cov
-
-
-def _inv_sym(P: Array) -> Array:
-    return jnp.linalg.inv(P)
 
 
 def _finalize_cov(cov: Array) -> Array:
@@ -227,7 +228,8 @@ def _finalize_cov(cov: Array) -> Array:
 def _solve_full(P: Array, eta: Array) -> Tuple[Array, Array]:
     """Good-SMF policy: Sigma = P^-1, mean from the *projected* covariance
     (reference ``structured_mf.py:266-279``)."""
-    cov = _finalize_cov(_inv_sym(P))
+    _, cov_raw = batched_spd_solve_inv(P, eta)
+    cov = _finalize_cov(cov_raw)
     mu = jnp.matmul(cov, eta[..., None], precision=HIGHEST)[..., 0]
     return mu, cov
 
@@ -236,11 +238,11 @@ def _solve_block(P: Array, eta: Array) -> Tuple[Array, Array]:
     """Bad-SMF policy: invert, zero additive x multiplicative cross blocks
     *post-inversion*, then symmetrize/jitter and take the mean from the
     truncated covariance (reference ``structured_mf.py:267-279``)."""
-    cov = _inv_sym(P)
+    _, cov_raw = batched_spd_solve_inv(P, eta)
     d = P.shape[-1]
     mask = jnp.zeros((d, d), dtype=bool)
     mask = mask.at[:2, 2:].set(True).at[2:, :2].set(True)
-    cov = jnp.where(mask, 0.0, cov)
+    cov = jnp.where(mask, 0.0, cov_raw)
     cov = _finalize_cov(cov)
     mu = jnp.matmul(cov, eta[..., None], precision=HIGHEST)[..., 0]
     return mu, cov
@@ -273,9 +275,13 @@ def compute_elbo(Y: Array, params: AMEParams, pri: PriorMatrices,
         mu_dyadic = dyad_ops.dyadic_mean_temporal(state.X_mean, r)
 
     # -- expected log likelihood (sum over unordered dyads i < j and t) ----
+    # R is exchangeable, so the quad form collapses to
+    # p (e0^2 + e1^2) + 2 q e0 e1 — pure elementwise work XLA fuses with
+    # the residual computation (no (n,n,T,2,2) contraction machinery).
     resid = Y - mu_dyadic
-    quad = jnp.einsum("ijta,ab,ijtb->ijt", resid, params.R_inv, resid,
-                      preferred_element_type=jnp.float32, precision=HIGHEST)
+    p_, q_ = params.R_inv[0, 0], params.R_inv[0, 1]
+    e0, e1 = resid[..., 0], resid[..., 1]
+    quad = p_ * (e0 * e0 + e1 * e1) + 2.0 * q_ * (e0 * e1)
     mask = dyad_ops.offdiag_mask(n)[:, :, None]
     quad_sum = 0.5 * jnp.sum(quad * mask)  # i<j sum = half the off-diag sum
     n_dyads = n * (n - 1) // 2 * T
@@ -308,9 +314,7 @@ def compute_elbo(Y: Array, params: AMEParams, pri: PriorMatrices,
         priort = jnp.asarray(0.0, state.X_mean.dtype)
 
     # -- entropy -----------------------------------------------------------
-    chol = jnp.linalg.cholesky(state.X_cov)
-    logdets = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(chol, axis1=-2, axis2=-1)), axis=-1)  # (n, T)
+    logdets = batched_logdet_spd(state.X_cov)                      # (n, T)
     entropy = 0.5 * jnp.sum(logdets + d * (1.0 + _LOG2PI))
 
     return log_lik + prior0 + priort + entropy
@@ -339,6 +343,106 @@ def cavi_step_jacobi(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
     mu_new, cov_new = _SOLVERS[structure](P, eta)
     X_mean = lr * mu_new + (1.0 - lr) * state.X_mean
     X_cov = lr * cov_new + (1.0 - lr) * state.X_cov
+    return CaviState(X_mean=X_mean, X_cov=X_cov)
+
+
+def cavi_step_block(state: CaviState, obs: ObsConstants,
+                    pri: PriorMatrices, params: AMEParams, structure: str,
+                    lr: Array, num_blocks: int) -> CaviState:
+    """Block Gauss-Seidel: nodes split into ``num_blocks`` groups updated in
+    sequence, each group reading the freshest global state; all (node, time)
+    factors within a group update simultaneously.
+
+    Rationale: pure Jacobi's effective spectral radius grows with the node
+    coupling (every node moves against every other's stale mean), forcing
+    damping lr = O(1/n) at scale; a handful of sequential blocks restores
+    near-Gauss-Seidel stability while keeping (n / num_blocks) * T parallel
+    factor updates per phase — ample TPU batch at production sizes.  Total
+    FLOPs per sweep match Jacobi (each W-row contraction happens once).
+    """
+    n, T, d = state.X_mean.shape
+    r = (d - 2) // 2
+    if n % num_blocks != 0:
+        raise ValueError(f"num_blocks={num_blocks} must divide n={n}")
+    bs = n // num_blocks
+    solver = _SOLVERS[structure]
+    prior_P = _prior_precision(pri, T)[None]                   # (1, T, d, d)
+    p, q = params.R_inv[0, 0], params.R_inv[0, 1]
+    c = jnp.asarray(n - 1, state.X_mean.dtype)
+
+    # Static reshape of the dyad weights to expose the block axis: rows of
+    # block b are W0r[b] with shape (bs, n, T).
+    W0r = obs.W0.reshape(num_blocks, bs, n, T)
+    W1r = obs.W1.reshape(num_blocks, bs, n, T)
+    eta_ar = obs.eta_a.reshape(num_blocks, bs, T)
+    eta_br = obs.eta_b.reshape(num_blocks, bs, T)
+
+    def update_block(b, carry):
+        X_mean, X_cov = carry
+        _, _, U, V = dyad_ops.split_state(X_mean, r)           # (n, T, r)
+
+        # Fresh global sufficient statistics (cheap: O(n T r^2)).
+        sU_all = U.sum(0)                                      # (T, r)
+        sV_all = V.sum(0)
+        GUU_all = jnp.einsum("jtk,jtl->tkl", U, U,
+                             preferred_element_type=jnp.float32,
+                             precision=HIGHEST)
+        GVV_all = jnp.einsum("jtk,jtl->tkl", V, V,
+                             preferred_element_type=jnp.float32,
+                             precision=HIGHEST)
+        GVU_all = jnp.einsum("jtk,jtl->tkl", V, U,
+                             preferred_element_type=jnp.float32,
+                             precision=HIGHEST)
+
+        start = b * bs
+        Ub = jax.lax.dynamic_slice_in_dim(U, start, bs, 0)     # (bs, T, r)
+        Vb = jax.lax.dynamic_slice_in_dim(V, start, bs, 0)
+
+        sU = sU_all[None] - Ub
+        sV = sV_all[None] - Vb
+        GUU = GUU_all[None] - Ub[..., :, None] * Ub[..., None, :]
+        GVV = GVV_all[None] - Vb[..., :, None] * Vb[..., None, :]
+        GVU = GVU_all[None] - Vb[..., :, None] * Ub[..., None, :]
+
+        P = jnp.zeros((bs, T, d, d), X_mean.dtype)
+        P = P.at[..., 0, 0].set(p * c).at[..., 1, 1].set(p * c)
+        P = P.at[..., 0, 1].set(q * c).at[..., 1, 0].set(q * c)
+        P = P.at[..., 0, 2:2 + r].set(p * sV).at[..., 2:2 + r, 0].set(p * sV)
+        P = P.at[..., 0, 2 + r:].set(q * sU).at[..., 2 + r:, 0].set(q * sU)
+        P = P.at[..., 1, 2:2 + r].set(q * sV).at[..., 2:2 + r, 1].set(q * sV)
+        P = P.at[..., 1, 2 + r:].set(p * sU).at[..., 2 + r:, 1].set(p * sU)
+        P = P.at[..., 2:2 + r, 2:2 + r].set(p * GVV)
+        P = P.at[..., 2 + r:, 2 + r:].set(p * GUU)
+        P = P.at[..., 2:2 + r, 2 + r:].set(q * GVU)
+        P = P.at[..., 2 + r:, 2:2 + r].set(q * jnp.swapaxes(GVU, -1, -2))
+        P = P + prior_P
+
+        W0b = jax.lax.dynamic_index_in_dim(W0r, b, 0, keepdims=False)
+        W1b = jax.lax.dynamic_index_in_dim(W1r, b, 0, keepdims=False)
+        etaU = jnp.einsum("ijt,jtr->itr", W0b, V,
+                          preferred_element_type=jnp.float32,
+                          precision=HIGHEST)
+        etaV = jnp.einsum("ijt,jtr->itr", W1b, U,
+                          preferred_element_type=jnp.float32,
+                          precision=HIGHEST)
+        eta = jnp.concatenate(
+            [jax.lax.dynamic_index_in_dim(eta_ar, b, 0, False)[..., None],
+             jax.lax.dynamic_index_in_dim(eta_br, b, 0, False)[..., None],
+             etaU, etaV], axis=-1)
+        eta = eta + jax.lax.dynamic_slice_in_dim(
+            _prior_nat_param(pri, X_mean), start, bs, 0)
+
+        mu_new, cov_new = solver(P, eta)
+        mu_old = jax.lax.dynamic_slice_in_dim(X_mean, start, bs, 0)
+        cov_old = jax.lax.dynamic_slice_in_dim(X_cov, start, bs, 0)
+        X_mean = jax.lax.dynamic_update_slice_in_dim(
+            X_mean, lr * mu_new + (1.0 - lr) * mu_old, start, 0)
+        X_cov = jax.lax.dynamic_update_slice_in_dim(
+            X_cov, lr * cov_new + (1.0 - lr) * cov_old, start, 0)
+        return X_mean, X_cov
+
+    X_mean, X_cov = jax.lax.fori_loop(0, num_blocks, update_block,
+                                      (state.X_mean, state.X_cov))
     return CaviState(X_mean=X_mean, X_cov=X_cov)
 
 
@@ -415,6 +519,12 @@ def cavi_step_seq(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
     return CaviState(X_mean=X_mean, X_cov=X_cov)
 
 
+def cavi_step_block_wrapper(state, obs, pri, params, structure, lr, *,
+                            num_blocks):
+    return cavi_step_block(state, obs, pri, params, structure, lr,
+                           num_blocks)
+
+
 # ---------------------------------------------------------------------------
 # Initialization
 # ---------------------------------------------------------------------------
@@ -458,7 +568,7 @@ class FitResult(NamedTuple):
 def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
              structure: str = "full", update_mode: str = "jacobi",
              max_iter: int = 100, learning_rate=1.0, tolerance=1e-4,
-             patience: int = 3) -> FitResult:
+             patience: int = 3, num_blocks=None) -> FitResult:
     """Run damped CAVI to convergence inside a single compiled loop.
 
     Convergence rule mirrors the reference trainer (``base.py:170-203``):
@@ -474,19 +584,27 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     buf = 64
     while buf < max_iter:
         buf *= 2
+    if update_mode == "block" and num_blocks is None:
+        # Largest divisor of n that is <= 16: near-GS stability with
+        # maximal per-phase parallelism.
+        n = Y.shape[0]
+        num_blocks = next(k for k in range(min(16, n), 0, -1)
+                          if n % k == 0)
     return _fit_cavi_impl(Y, params, init, jnp.asarray(max_iter),
                           jnp.asarray(learning_rate, Y.dtype),
                           jnp.asarray(tolerance, Y.dtype),
                           structure=structure, update_mode=update_mode,
-                          buf_size=buf, patience=patience)
+                          buf_size=buf, patience=patience,
+                          num_blocks=num_blocks)
 
 
 @functools.partial(jax.jit, static_argnames=("structure", "update_mode",
-                                             "buf_size", "patience"))
+                                             "buf_size", "patience",
+                                             "num_blocks"))
 def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
                    max_iter: Array, learning_rate: Array, tolerance: Array,
                    *, structure: str, update_mode: str, buf_size: int,
-                   patience: int) -> FitResult:
+                   patience: int, num_blocks) -> FitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
@@ -495,7 +613,13 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
 
     obs = precompute_obs_constants(Y, params.R_inv)
     pri = precompute_priors(params)
-    step_fn = cavi_step_jacobi if update_mode == "jacobi" else cavi_step_seq
+    if update_mode == "jacobi":
+        step_fn = cavi_step_jacobi
+    elif update_mode == "block":
+        step_fn = functools.partial(cavi_step_block_wrapper,
+                                    num_blocks=num_blocks)
+    else:
+        step_fn = cavi_step_seq
 
     def cond(carry):
         state, it, prev_elbo, pat, conv, eh, mh = carry

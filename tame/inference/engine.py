@@ -35,9 +35,11 @@ class TemporalAMECaviVI:
         Covariance-structure policy (naive / good-SMF / bad-SMF).
     learning_rate : float
         Damping factor (reference semantics, ``naive_mf.py:277-281``).
-    update_mode : {"jacobi", "seq"}
-        Batched simultaneous updates (default) or the reference's
-        Gauss–Seidel sweep order.
+    update_mode : {"block", "jacobi", "seq"}
+        ``"block"`` (default): block Gauss-Seidel — stable at reference
+        damping values for any n.  ``"jacobi"``: fully simultaneous (fastest
+        per iteration, needs smaller lr as n grows).  ``"seq"``: the
+        reference's exact node-by-node sweep order.
     """
 
     structure = "full"
@@ -45,7 +47,7 @@ class TemporalAMECaviVI:
     def __init__(self, model, structure: Optional[str] = None,
                  learning_rate: float = 1.0, init_scale: float = 0.1,
                  cov_init_scale: float = 0.5, seed: int = 42,
-                 update_mode: str = "jacobi"):
+                 update_mode: str = "block", num_blocks=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -62,6 +64,7 @@ class TemporalAMECaviVI:
         self.cov_init_scale = cov_init_scale
         self.seed = seed
         self.update_mode = update_mode
+        self.num_blocks = num_blocks
         self.params: AMEParams = model.params
 
         self.history: Dict[str, List[float]] = {
@@ -87,7 +90,8 @@ class TemporalAMECaviVI:
             self.Y, self.params,
             cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
             structure=self.structure, update_mode=self.update_mode,
-            max_iter=max_iter, learning_rate=self.lr, tolerance=tolerance)
+            max_iter=max_iter, learning_rate=self.lr, tolerance=tolerance,
+            num_blocks=self.num_blocks)
         result = jax.block_until_ready(result)
 
         self.X_mean = result.X_mean
@@ -145,7 +149,7 @@ class TemporalAMENaiveMFVI(TemporalAMECaviVI):
 
     def __init__(self, model, learning_rate: float = 1.0,
                  init_scale: float = 0.1, seed: int = 42,
-                 update_mode: str = "jacobi"):
+                 update_mode: str = "block"):
         super().__init__(model, structure="diag",
                          learning_rate=learning_rate, init_scale=init_scale,
                          seed=seed, update_mode=update_mode)
@@ -163,7 +167,7 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
     def __init__(self, model, factorization: str = "good",
                  learning_rate: float = 1.0, init_scale: float = 0.1,
                  cov_init_scale: float = 0.5, seed: int = 42,
-                 update_mode: str = "jacobi"):
+                 update_mode: str = "block"):
         if factorization not in ("good", "bad"):
             raise ValueError(f"Unknown factorization '{factorization}'")
         self.factorization = factorization

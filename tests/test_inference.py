@@ -220,3 +220,81 @@ class TestJacobiVsSeq:
         # state means agree closely at the common fixed point
         assert np.allclose(np.asarray(vj.X_mean), np.asarray(vs.X_mean),
                            atol=0.05)
+
+
+class TestBlockGaussSeidel:
+    def test_block_matches_jacobi_fixed_point(self):
+        """Block GS and Jacobi share fixed points; converged states must
+        agree on a well-damped small problem."""
+        from tame.inference import cavi
+        from tame.models import TemporalAMEModel
+        import jax
+
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1, seed=3)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 8, 4, 4, "full",
+                               0.1, 0.5)
+        out_j = cavi.fit_cavi(Y, model.params, init, structure="full",
+                              update_mode="jacobi", max_iter=400,
+                              learning_rate=0.5, tolerance=1e-10)
+        out_b = cavi.fit_cavi(Y, model.params, init, structure="full",
+                              update_mode="block", max_iter=400,
+                              learning_rate=0.5, tolerance=1e-10,
+                              num_blocks=4)
+        out_s = cavi.fit_cavi(Y, model.params, init, structure="full",
+                              update_mode="seq", max_iter=400,
+                              learning_rate=0.5, tolerance=1e-10)
+        # X is identified only up to rotation/sign of (U, V): different
+        # update orders may converge to equivalent-but-rotated optima, so
+        # compare the identified dyadic means and the ELBO.
+        from tame.ops import dyad as dyad_ops
+
+        mu_j = np.asarray(dyad_ops.dyadic_mean_temporal(out_j.X_mean, 1))
+        mu_b = np.asarray(dyad_ops.dyadic_mean_temporal(out_b.X_mean, 1))
+        mu_s = np.asarray(dyad_ops.dyadic_mean_temporal(out_s.X_mean, 1))
+        assert np.allclose(mu_j, mu_b, atol=0.05)
+        assert np.allclose(mu_s, mu_b, atol=0.05)
+        e_j = float(np.asarray(out_j.elbo_history)[int(out_j.n_iter) - 1])
+        e_b = float(np.asarray(out_b.elbo_history)[int(out_b.n_iter) - 1])
+        assert abs(e_j - e_b) / abs(e_b) < 0.02
+
+    def test_block_stable_where_jacobi_oscillates(self):
+        """At moderate n the block sweep must converge at a damping where
+        pure Jacobi oscillates (the reason the mode exists)."""
+        from tame.inference import cavi
+        from tame.models import TemporalAMEModel
+        import jax
+
+        model = TemporalAMEModel(n_nodes=48, n_time=4, latent_dim=2,
+                                 seed=1)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 48, 4, 6, "full",
+                               0.1, 0.5)
+        out_j = cavi.fit_cavi(Y, model.params, init, structure="full",
+                              update_mode="jacobi", max_iter=50,
+                              learning_rate=0.8, tolerance=0.0)
+        out_b = cavi.fit_cavi(Y, model.params, init, structure="full",
+                              update_mode="block", max_iter=50,
+                              learning_rate=0.8, tolerance=0.0)
+        mse_j = float(np.asarray(out_j.mse_history)[49])
+        mse_b = float(np.asarray(out_b.mse_history)[49])
+        assert mse_b < mse_j * 0.9
+
+    def test_block_requires_divisibility(self):
+        from tame.inference import cavi
+        from tame.models import TemporalAMEModel
+        import jax
+
+        model = TemporalAMEModel(n_nodes=7, n_time=3, latent_dim=1, seed=0)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 7, 3, 4, "full",
+                               0.1, 0.5)
+        with pytest.raises(ValueError):
+            cavi.fit_cavi(Y, model.params, init, structure="full",
+                          update_mode="block", max_iter=2,
+                          num_blocks=3)
+        # auto num_blocks picks a divisor (7 -> 7)
+        out = cavi.fit_cavi(Y, model.params, init, structure="full",
+                            update_mode="block", max_iter=2,
+                            learning_rate=0.5)
+        assert np.all(np.isfinite(np.asarray(out.X_mean)))

@@ -1,0 +1,102 @@
+"""Core-op tests: dyadic ops and the batched Cholesky solve kernel.
+
+The Pallas kernel is validated in interpreter mode on CPU against the stock
+XLA path and direct numpy linalg.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tame.ops import dyad as dyad_ops
+from tame.ops.cholesky import (
+    _pallas_spd_solve_inv,
+    _xla_spd_solve_inv,
+    batched_spd_solve,
+    batched_spd_solve_inv,
+)
+
+
+def _random_spd(key, B, d):
+    A = jax.random.normal(key, (B, d, d))
+    return jnp.matmul(A, jnp.swapaxes(A, -1, -2)) + 2.0 * jnp.eye(d)
+
+
+class TestCholeskySolve:
+    @pytest.mark.parametrize("d", [4, 6, 10])
+    def test_pallas_matches_numpy(self, d):
+        key = jax.random.PRNGKey(d)
+        k1, k2 = jax.random.split(key)
+        B = 37  # deliberately not a multiple of 128 (padding path)
+        P = _random_spd(k1, B, d)
+        eta = jax.random.normal(k2, (B, d))
+
+        mu, cov = _pallas_spd_solve_inv(P, eta, interpret=True)
+        P_np = np.asarray(P, dtype=np.float64)
+        eta_np = np.asarray(eta, dtype=np.float64)
+        mu_np = np.linalg.solve(P_np, eta_np[..., None])[..., 0]
+        cov_np = np.linalg.inv(P_np)
+        assert np.allclose(np.asarray(mu), mu_np, atol=1e-3)
+        assert np.allclose(np.asarray(cov), cov_np, atol=1e-3)
+
+    def test_pallas_solve_only(self):
+        key = jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        P = _random_spd(k1, 16, 6)
+        eta = jax.random.normal(k2, (16, 6))
+        mu = _pallas_spd_solve_inv(P, eta, interpret=True,
+                                   with_inverse=False)
+        mu_ref, _ = _xla_spd_solve_inv(P, eta)
+        assert np.allclose(np.asarray(mu), np.asarray(mu_ref), atol=1e-4)
+
+    def test_xla_path_correct(self):
+        key = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(key)
+        P = _random_spd(k1, 8, 6)
+        eta = jax.random.normal(k2, (8, 6))
+        mu, cov = _xla_spd_solve_inv(P, eta)
+        assert np.allclose(np.asarray(jnp.matmul(P, cov)),
+                           np.eye(6), atol=1e-3)
+        assert np.allclose(
+            np.asarray(jnp.matmul(P, mu[..., None])[..., 0]),
+            np.asarray(eta), atol=1e-3)
+
+    def test_dispatch_supports_leading_batch_dims(self):
+        key = jax.random.PRNGKey(5)
+        k1, k2 = jax.random.split(key)
+        P = _random_spd(k1, 12, 4).reshape(3, 4, 4, 4)
+        eta = jax.random.normal(k2, (3, 4, 4))
+        mu, cov = batched_spd_solve_inv(P, eta)
+        assert mu.shape == (3, 4, 4)
+        assert cov.shape == (3, 4, 4, 4)
+        mu2 = batched_spd_solve(P, eta)
+        assert np.allclose(np.asarray(mu), np.asarray(mu2), atol=1e-5)
+
+
+class TestDyadOps:
+    def test_symmetrize_dyads_invariants(self, rng_key):
+        D = jax.random.normal(rng_key, (6, 6, 3, 2))
+        Y = np.asarray(dyad_ops.symmetrize_dyads(D))
+        assert np.allclose(np.diagonal(Y, axis1=0, axis2=1), 0.0)
+        assert np.allclose(Y[..., 1], Y.transpose(1, 0, 2, 3)[..., 0])
+        # upper triangle preserved verbatim
+        D_np = np.asarray(D)
+        for i in range(6):
+            for j in range(i + 1, 6):
+                assert np.allclose(Y[i, j], D_np[i, j])
+
+    def test_temporal_mean_matches_static_per_time(self, rng_key):
+        X = jax.random.normal(rng_key, (5, 4, 6))
+        mu_t = np.asarray(dyad_ops.dyadic_mean_temporal(X, 2))
+        for t in range(4):
+            mu_s = np.asarray(dyad_ops.dyadic_mean_static(
+                X[:, t, :2], X[:, t, 2:], 2))
+            assert np.allclose(mu_t[:, :, t], mu_s, atol=1e-5)
+
+    def test_split_state_roundtrip(self, rng_key):
+        X = jax.random.normal(rng_key, (5, 4, 6))
+        a, b, U, V = dyad_ops.split_state(X, 2)
+        rebuilt = jnp.concatenate(
+            [a[..., None], b[..., None], U, V], axis=-1)
+        assert np.allclose(np.asarray(rebuilt), np.asarray(X))
