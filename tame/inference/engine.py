@@ -127,6 +127,44 @@ class TemporalAMECaviVI:
     def get_reconstruction_history(self) -> List[float]:
         return self.history["reconstruction_error"]
 
+    def save_checkpoint(self, ckpt_dir) -> None:
+        """Checkpoint the full fit state (variational parameters + history)
+        for restart — a capability the reference lacks entirely (its state
+        lives in memory for the whole fit, SURVEY.md §5)."""
+        from tame.io import save_checkpoint
+
+        save_checkpoint(ckpt_dir, {
+            "X_mean": self.X_mean,
+            "X_cov": self.X_cov,
+            "history": {
+                "elbo": np.asarray(self.history["elbo"]),
+                "reconstruction_error": np.asarray(
+                    self.history["reconstruction_error"]),
+            },
+            "structure": self.structure,
+            "learning_rate": self.lr,
+            "seed": self.seed,
+        })
+
+    def load_checkpoint(self, ckpt_dir) -> None:
+        """Restore a checkpoint saved by :meth:`save_checkpoint`; a
+        subsequent ``fit`` continues from the restored state (history
+        appends)."""
+        from tame.io import load_checkpoint
+
+        state = load_checkpoint(ckpt_dir)
+        if state.get("structure", self.structure) != self.structure:
+            raise ValueError(
+                f"checkpoint structure '{state.get('structure')}' does not "
+                f"match engine structure '{self.structure}'")
+        self.X_mean = jnp.asarray(state["X_mean"])
+        self.X_cov = jnp.asarray(state["X_cov"])
+        self.history = {
+            "elbo": list(np.asarray(state["history"]["elbo"]).tolist()),
+            "reconstruction_error": list(np.asarray(
+                state["history"]["reconstruction_error"]).tolist()),
+        }
+
     def predict_forward(self, n_steps: int = 1) -> Array:
         """AR(1) forward forecast from the last state means
         (reference ``naive_mf.py:386-396``), via one ``lax.scan``."""

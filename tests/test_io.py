@@ -1,0 +1,126 @@
+"""IO tests: native C++ tensor store, checkpoint round trips, engine resume.
+
+The native store is exercised directly (build + write + read + CRC) and the
+checkpoint layer both through it and through the numpy fallback.
+"""
+
+import numpy as np
+import pytest
+
+from tame.io import load_checkpoint, save_checkpoint
+from tame.io import native
+
+
+requires_native = pytest.mark.skipif(not native.available(),
+                                     reason="no C++ toolchain")
+
+
+@requires_native
+class TestNativeStore:
+    def test_roundtrip_dtypes(self, tmp_path):
+        rng = np.random.default_rng(0)
+        for dtype in ("float32", "float64", "int32", "int64", "uint8"):
+            arr = (rng.normal(size=(7, 5)) * 100).astype(dtype)
+            path = tmp_path / f"t_{dtype}.tame"
+            native.write_tensor(path, arr)
+            out = native.read_tensor(path)
+            assert out.dtype == arr.dtype
+            assert np.array_equal(out, arr)
+
+    def test_roundtrip_shapes(self, tmp_path):
+        rng = np.random.default_rng(1)
+        for shape in [(), (3,), (2, 3, 4, 5)]:
+            arr = rng.normal(size=shape).astype(np.float32)
+            path = tmp_path / "t.tame"
+            native.write_tensor(path, arr)
+            out = native.read_tensor(path)
+            assert out.shape == arr.shape
+            assert np.allclose(out, arr)
+
+    def test_corruption_detected(self, tmp_path):
+        arr = np.arange(100, dtype=np.float32)
+        path = tmp_path / "t.tame"
+        native.write_tensor(path, arr)
+        raw = bytearray(path.read_bytes())
+        raw[-5] ^= 0xFF  # flip a payload byte
+        path.write_bytes(bytes(raw))
+        with pytest.raises(IOError, match="CRC"):
+            native.read_tensor(path)
+
+    def test_bad_magic_rejected(self, tmp_path):
+        path = tmp_path / "bogus.tame"
+        path.write_bytes(b"NOPE" + b"\x00" * 64)
+        with pytest.raises(IOError):
+            native.read_tensor(path)
+
+    def test_crc32_known_value(self):
+        # CRC32 of b"123456789" is the classic check value 0xCBF43926.
+        arr = np.frombuffer(b"123456789", dtype=np.uint8)
+        assert native.crc32(arr) == 0xCBF43926
+
+
+class TestCheckpoint:
+    def test_roundtrip_nested(self, tmp_path):
+        state = {
+            "X_mean": np.random.default_rng(0).normal(
+                size=(4, 3, 6)).astype(np.float32),
+            "nested": {"a": np.arange(5), "note": "hello"},
+            "iteration": 17,
+        }
+        ckpt = tmp_path / "ckpt"
+        save_checkpoint(ckpt, state)
+        loaded = load_checkpoint(ckpt)
+        assert np.allclose(loaded["X_mean"], state["X_mean"])
+        assert np.array_equal(loaded["nested"]["a"], state["nested"]["a"])
+        assert loaded["nested"]["note"] == "hello"
+        assert loaded["iteration"] == 17
+
+    def test_overwrite_atomic(self, tmp_path):
+        ckpt = tmp_path / "ckpt"
+        save_checkpoint(ckpt, {"x": np.zeros(3)})
+        save_checkpoint(ckpt, {"x": np.ones(3)})
+        assert np.allclose(load_checkpoint(ckpt)["x"], 1.0)
+        assert not (tmp_path / "ckpt.tmp").exists()
+
+    def test_npy_fallback(self, tmp_path, monkeypatch):
+        monkeypatch.setattr(native, "available", lambda: False)
+        ckpt = tmp_path / "ckpt"
+        save_checkpoint(ckpt, {"x": np.arange(4.0)})
+        assert list(ckpt.glob("*.npy"))
+        assert np.allclose(load_checkpoint(ckpt)["x"], np.arange(4.0))
+
+
+class TestEngineResume:
+    def test_fit_resume_continues(self, temporal_data, tmp_path):
+        from tame.inference import TemporalAMEStructuredMFVI
+
+        vi = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                       factorization="good",
+                                       learning_rate=0.7)
+        vi.fit(max_iter=5, verbose=False)
+        vi.save_checkpoint(tmp_path / "ckpt")
+
+        vi2 = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                        factorization="good",
+                                        learning_rate=0.7)
+        vi2.load_checkpoint(tmp_path / "ckpt")
+        assert np.allclose(np.asarray(vi2.X_mean), np.asarray(vi.X_mean))
+        assert vi2.history["elbo"] == vi.history["elbo"]
+
+        # resumed fit continues improving from the restored state
+        vi2.fit(max_iter=5, verbose=False)
+        assert len(vi2.history["elbo"]) == 10
+        assert vi2.history["elbo"][-1] >= vi2.history["elbo"][4] - 1.0
+
+    def test_structure_mismatch_rejected(self, temporal_data, tmp_path):
+        from tame.inference import (
+            TemporalAMENaiveMFVI,
+            TemporalAMEStructuredMFVI,
+        )
+
+        vi = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                       factorization="good")
+        vi.save_checkpoint(tmp_path / "ckpt")
+        vi2 = TemporalAMENaiveMFVI(temporal_data["model"])
+        with pytest.raises(ValueError, match="structure"):
+            vi2.load_checkpoint(tmp_path / "ckpt")

@@ -243,3 +243,27 @@ class TestDiagnostics:
         M = jax.random.normal(rng_key, (10, 4))
         assert compute_uv_product_correlation(M, M, 2) == pytest.approx(
             1.0, abs=1e-5)
+
+
+class TestProfiling:
+    def test_benchmark(self):
+        from tame.utils.profiling import benchmark
+        import jax.numpy as jnp
+
+        f = jax.jit(lambda x: x * 2.0)
+        stats = benchmark(f, jnp.ones(8), warmup=1, repeats=2)
+        assert stats["best_s"] > 0
+        assert stats["repeats"] == 2
+
+    def test_metrics_logger_roundtrip(self, tmp_path):
+        from tame.utils.profiling import MetricsLogger, log_fit_history
+
+        path = tmp_path / "metrics.jsonl"
+        with MetricsLogger(path) as logger:
+            logger.log(0, elbo=-100.0, mse=0.5)
+            log_fit_history(logger, {"elbo": [-90.0, -80.0]}, start_step=1)
+        records = MetricsLogger.read(path)
+        assert len(records) == 3
+        assert records[0]["elbo"] == -100.0
+        assert records[2]["step"] == 2
+        assert records[2]["elbo"] == -80.0
