@@ -19,6 +19,7 @@ requires_8 = pytest.mark.skipif(len(jax.devices()) < 8,
 
 
 def _fit(Y, params, init, **kw):
+    kw.setdefault("update_mode", "jacobi")
     return cavi.fit_cavi(Y, params, init, structure="full",
                          learning_rate=0.7, max_iter=20, **kw)
 
@@ -34,16 +35,22 @@ def sharded_problem():
 
 @requires_8
 class TestShardedFit:
-    @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 2), (1, 2)])
-    def test_sharded_matches_single_device(self, sharded_problem, mesh_shape):
+    @pytest.mark.parametrize("mesh_shape,update_mode", [
+        ((8, 1), "jacobi"), ((4, 2), "jacobi"), ((2, 2), "jacobi"),
+        ((1, 2), "jacobi"), ((4, 2), "block"), ((8, 1), "block")])
+    def test_sharded_matches_single_device(self, sharded_problem,
+                                           mesh_shape, update_mode):
         model, Y, init = sharded_problem
-        ref = _fit(Y, model.params, init)
+        kw = {"update_mode": update_mode}
+        if update_mode == "block":
+            kw["num_blocks"] = 4
+        ref = _fit(Y, model.params, init, **kw)
 
         nodes_ax, time_ax = mesh_shape
         mesh = make_mesh(nodes=nodes_ax, time=time_ax,
                          devices=jax.devices()[:nodes_ax * time_ax])
         Y_s, init_s = shard_fit_inputs(mesh, Y, init)
-        out = _fit(Y_s, model.params, init_s)
+        out = _fit(Y_s, model.params, init_s, **kw)
 
         assert np.allclose(np.asarray(ref.X_mean), np.asarray(out.X_mean),
                            atol=1e-4)
