@@ -21,6 +21,7 @@ from tame.inference.logprob import (
     log_prior,
     make_logdensity_fn,
 )
+from tame.inference.nuts import TemporalAMENUTS, nuts_kernel, run_nuts
 from tame.inference.smc import TemporalAMESMC, run_smc
 
 __all__ = [
@@ -35,7 +36,10 @@ __all__ = [
     "TemporalAMENaiveMFVI",
     "TemporalAMEStructuredMFVI",
     "TemporalAMEHMC",
+    "TemporalAMENUTS",
     "TemporalAMESMC",
+    "run_nuts",
+    "nuts_kernel",
     "run_hmc",
     "run_smc",
     "log_joint",

@@ -195,3 +195,57 @@ class TestSMC:
         mask = ~np.eye(model.n, dtype=bool)
         corr = np.corrcoef(mu[mask].ravel(), Y[mask].ravel())[0, 1]
         assert corr > 0.5
+
+
+class TestNUTS:
+    def test_standard_normal_moments(self):
+        from tame.inference import run_nuts
+
+        fn = lambda x: -0.5 * jnp.sum(x ** 2)
+        out = run_nuts(fn, jnp.zeros(3), jax.random.PRNGKey(0),
+                       num_warmup=300, num_samples=600,
+                       initial_step_size=0.5, max_depth=6)
+        s = np.asarray(out.positions)
+        assert np.abs(s.mean(axis=0)).max() < 0.25
+        assert np.abs(s.std(axis=0) - 1.0).max() < 0.25
+
+    def test_correlated_normal(self):
+        """NUTS must handle strong correlation (where fixed-length HMC with
+        a bad trajectory length would fail)."""
+        from tame.inference import run_nuts
+
+        rho = 0.95
+        P = jnp.linalg.inv(jnp.array([[1.0, rho], [rho, 1.0]]))
+        fn = lambda x: -0.5 * x @ P @ x
+        out = run_nuts(fn, jnp.zeros(2), jax.random.PRNGKey(1),
+                       num_warmup=300, num_samples=800,
+                       initial_step_size=0.3, max_depth=8)
+        s = np.asarray(out.positions)
+        emp_rho = np.corrcoef(s[:, 0], s[:, 1])[0, 1]
+        assert abs(emp_rho - rho) < 0.12
+        assert np.abs(s.std(axis=0) - 1.0).max() < 0.3
+
+    def test_adaptive_depth(self):
+        """Trajectory lengths should adapt: with a tiny step size NUTS
+        integrates deeper than with a large one."""
+        from tame.inference.nuts import nuts_kernel
+
+        fn = lambda x: -0.5 * jnp.sum(x ** 2)
+        key = jax.random.PRNGKey(2)
+        _, _, stats_small = nuts_kernel(fn, jnp.ones(2), key,
+                                        jnp.asarray(0.01),
+                                        jnp.ones(2), max_depth=10)
+        _, _, stats_big = nuts_kernel(fn, jnp.ones(2), key,
+                                      jnp.asarray(1.0),
+                                      jnp.ones(2), max_depth=10)
+        assert int(stats_small["n_leapfrog"]) > int(stats_big["n_leapfrog"])
+
+    def test_on_temporal_ame(self, tiny):
+        from tame.inference import TemporalAMENUTS
+
+        model, Y, X = tiny
+        nuts = TemporalAMENUTS(model, num_chains=2, max_depth=6, seed=0)
+        out = nuts.sample(num_warmup=60, num_samples=60)
+        assert out.positions.shape == (2, 60) + X.shape
+        assert np.all(np.isfinite(np.asarray(out.positions)))
+        assert float(np.asarray(out.accept_prob).mean()) > 0.4
