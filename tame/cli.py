@@ -1,0 +1,231 @@
+"""Command-line interface: config-driven runners for every workflow.
+
+The reference has no CLI at all — experiments are "configured" by editing
+``__main__`` blocks (reference ``three_way_conparison.py:321-333``,
+SURVEY.md §5).  Here every workflow is a subcommand with flags mirroring
+the model/inference keyword surface:
+
+    python -m tame demo --lr 0.7 --max-iter 150
+    python -m tame fit --n-nodes 100 --n-time 20 --method good --lr 0.8
+    python -m tame three-way --n-nodes 15 --max-iter 200 --lr 0.7
+    python -m tame sensitivity --parameter n_nodes --values 10 20 30
+    python -m tame mult-strength --n-nodes 20
+    python -m tame sample --sampler nuts --num-chains 4
+    python -m tame bench
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_model_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--n-nodes", type=int, default=15)
+    p.add_argument("--n-time", type=int, default=10)
+    p.add_argument("--latent-dim", type=int, default=2)
+    p.add_argument("--ar-coefficient", type=float, default=0.8)
+    p.add_argument("--rho-additive", type=float, default=0.5)
+    p.add_argument("--rho-multiplicative", type=float, default=0.3)
+    p.add_argument("--rho-dyadic", type=float, default=0.5)
+    p.add_argument("--process-noise-scale", type=float, default=0.1)
+    p.add_argument("--seed", type=int, default=42)
+
+
+def _build_model(args):
+    from tame.models import TemporalAMEModel
+
+    return TemporalAMEModel(
+        n_nodes=args.n_nodes, n_time=args.n_time,
+        latent_dim=args.latent_dim, ar_coefficient=args.ar_coefficient,
+        rho_additive=args.rho_additive,
+        rho_multiplicative=args.rho_multiplicative,
+        rho_dyadic=args.rho_dyadic,
+        process_noise_scale=args.process_noise_scale, seed=args.seed)
+
+
+def _cmd_demo(args) -> int:
+    import demo
+
+    demo.main(lr=args.lr, max_iter=args.max_iter, outdir=args.outdir,
+              n_nodes=args.n_nodes, n_time=args.n_time, seed=args.seed)
+    return 0
+
+
+def _cmd_fit(args) -> int:
+    from tame.inference import (
+        TemporalAMENaiveMFVI,
+        TemporalAMEStructuredMFVI,
+    )
+    from tame.utils import print_diagnostic_summary
+
+    model = _build_model(args)
+    _, X_true = model.generate_data(return_latents=True)
+    if args.method == "naive":
+        vi = TemporalAMENaiveMFVI(model, learning_rate=args.lr,
+                                  seed=args.seed,
+                                  update_mode=args.update_mode)
+    else:
+        vi = TemporalAMEStructuredMFVI(
+            model, factorization=args.method, learning_rate=args.lr,
+            seed=args.seed, update_mode=args.update_mode)
+    history = vi.fit(max_iter=args.max_iter, tolerance=args.tolerance,
+                     verbose=True, check_every=args.check_every)
+    print_diagnostic_summary(args.method, history, X_true=X_true,
+                             X_est=vi.X_mean, latent_dim=args.latent_dim)
+    if args.checkpoint:
+        vi.save_checkpoint(args.checkpoint)
+        print(f"Checkpoint written to {args.checkpoint}")
+    return 0
+
+
+def _cmd_three_way(args) -> int:
+    from tame.experiments.three_way_comparison import (
+        run_three_way_comparison)
+
+    run_three_way_comparison(
+        n_nodes=args.n_nodes, n_time=args.n_time,
+        latent_dim=args.latent_dim, rho_dyadic=args.rho_dyadic,
+        ar_coefficient=args.ar_coefficient, max_iter=args.max_iter,
+        learning_rate=args.lr, seed=args.seed,
+        save_outputs=not args.no_save)
+    return 0
+
+
+def _cmd_sensitivity(args) -> int:
+    from tame.experiments.sensitivity_analysis import (
+        run_sensitivity_analysis)
+
+    run_sensitivity_analysis(
+        parameter=args.parameter, values=args.values,
+        max_iter=args.max_iter, learning_rate=args.lr,
+        n_replicates=args.n_replicates, seed=args.seed,
+        save_outputs=not args.no_save)
+    return 0
+
+
+def _cmd_mult_strength(args) -> int:
+    from tame.experiments.multiplicative_strength_comparison import main
+
+    main(save_outputs=not args.no_save, n_nodes=args.n_nodes,
+         n_time=args.n_time, max_iter=args.max_iter, seed=args.seed)
+    return 0
+
+
+def _cmd_sample(args) -> int:
+    import numpy as np
+
+    from tame.inference import (
+        TemporalAMEHMC,
+        TemporalAMENUTS,
+        TemporalAMESMC,
+    )
+
+    model = _build_model(args)
+    model.generate_data()
+    if args.sampler == "smc":
+        smc = TemporalAMESMC(model, num_particles=args.num_particles,
+                             num_stages=args.num_stages, seed=args.seed)
+        result = smc.sample()
+        print(f"SMC: {args.num_particles} particles, "
+              f"log-evidence = {float(result.log_evidence):.2f}, "
+              f"final ESS = {float(np.asarray(result.ess_history)[-1]):.1f}")
+    else:
+        cls = TemporalAMENUTS if args.sampler == "nuts" else TemporalAMEHMC
+        sampler = cls(model, num_chains=args.num_chains, seed=args.seed)
+        out = sampler.sample(num_warmup=args.num_warmup,
+                             num_samples=args.num_samples)
+        print(f"{args.sampler.upper()}: {args.num_chains} chains x "
+              f"{args.num_samples} samples, mean accept = "
+              f"{float(np.asarray(out.accept_prob).mean()):.3f}, "
+              f"step sizes = "
+              f"{np.round(np.asarray(out.step_size), 4).tolist()}")
+    return 0
+
+
+def _cmd_bench(args) -> int:
+    import bench
+
+    bench.main()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="tame", description="TPU-native temporal-AME inference")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("demo", help="canonical 9-step workflow")
+    _add_model_flags(p)
+    p.add_argument("--lr", type=float, default=0.01)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--outdir", default="demo_output")
+    p.set_defaults(fn=_cmd_demo)
+
+    p = sub.add_parser("fit", help="fit one VI engine")
+    _add_model_flags(p)
+    p.add_argument("--method", choices=["naive", "good", "bad"],
+                   default="good")
+    p.add_argument("--lr", type=float, default=0.7)
+    p.add_argument("--max-iter", type=int, default=150)
+    p.add_argument("--tolerance", type=float, default=1e-4)
+    p.add_argument("--check-every", type=int, default=10)
+    p.add_argument("--update-mode",
+                   choices=["block", "jacobi", "seq"], default="block")
+    p.add_argument("--checkpoint", default=None,
+                   help="directory to write a checkpoint to")
+    p.set_defaults(fn=_cmd_fit)
+
+    p = sub.add_parser("three-way", help="Naive vs Good vs Bad comparison")
+    _add_model_flags(p)
+    p.add_argument("--lr", type=float, default=0.7)
+    p.add_argument("--max-iter", type=int, default=200)
+    p.add_argument("--no-save", action="store_true")
+    p.set_defaults(fn=_cmd_three_way)
+
+    p = sub.add_parser("sensitivity", help="parameter sweep")
+    p.add_argument("--parameter", default="n_nodes",
+                   choices=["n_nodes", "n_time", "ar_coefficient",
+                            "rho_dyadic"])
+    p.add_argument("--values", type=float, nargs="+",
+                   default=[10, 15, 20, 25, 30])
+    p.add_argument("--lr", type=float, default=0.7)
+    p.add_argument("--max-iter", type=int, default=150)
+    p.add_argument("--n-replicates", type=int, default=3)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--no-save", action="store_true")
+    p.set_defaults(fn=_cmd_sensitivity)
+
+    p = sub.add_parser("mult-strength",
+                       help="weak vs strong multiplicative regimes")
+    _add_model_flags(p)
+    p.add_argument("--max-iter", type=int, default=150)
+    p.add_argument("--no-save", action="store_true")
+    p.set_defaults(fn=_cmd_mult_strength)
+
+    p = sub.add_parser("sample", help="posterior sampling (HMC/NUTS/SMC)")
+    _add_model_flags(p)
+    p.add_argument("--sampler", choices=["hmc", "nuts", "smc"],
+                   default="nuts")
+    p.add_argument("--num-chains", type=int, default=4)
+    p.add_argument("--num-warmup", type=int, default=200)
+    p.add_argument("--num-samples", type=int, default=200)
+    p.add_argument("--num-particles", type=int, default=256)
+    p.add_argument("--num-stages", type=int, default=20)
+    p.set_defaults(fn=_cmd_sample)
+
+    p = sub.add_parser("bench", help="one-line JSON benchmark")
+    p.set_defaults(fn=_cmd_bench)
+    return parser
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    # sensitivity values: ints for count-like parameters
+    if getattr(args, "parameter", None) in ("n_nodes", "n_time"):
+        args.values = [int(v) for v in args.values]
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

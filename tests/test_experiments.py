@@ -147,3 +147,34 @@ class TestExperimentsEndToEnd:
         assert "Step 9: Verdict" in out
         assert len(list((tmp_path / "o").glob("*.png"))) == 4
         assert set(results) == {"Naive MF", "Good SMF", "Bad SMF"}
+
+
+class TestCLI:
+    def test_fit_subcommand(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        from tame.cli import main
+
+        rc = main(["fit", "--n-nodes", "6", "--n-time", "3",
+                   "--latent-dim", "1", "--method", "good", "--lr", "0.5",
+                   "--max-iter", "3",
+                   "--checkpoint", str(tmp_path / "ck")])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "Diagnostic Summary" in out
+        assert (tmp_path / "ck" / "manifest.json").exists()
+
+    def test_sample_subcommand(self, capsys):
+        from tame.cli import main
+
+        rc = main(["sample", "--sampler", "hmc", "--n-nodes", "5",
+                   "--n-time", "2", "--latent-dim", "1",
+                   "--num-chains", "2", "--num-warmup", "10",
+                   "--num-samples", "10"])
+        assert rc == 0
+        assert "HMC" in capsys.readouterr().out
+
+    def test_unknown_command_fails(self):
+        from tame.cli import main
+
+        with pytest.raises(SystemExit):
+            main(["bogus"])
