@@ -563,6 +563,7 @@ class FitResult(NamedTuple):
     mse_history: Array   # (max_iter,)
     n_iter: Array        # scalar int
     converged: Array     # scalar bool
+    diverged: Array      # scalar bool: ELBO went non-finite; fit halted
 
 
 def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
@@ -622,11 +623,12 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
         step_fn = cavi_step_seq
 
     def cond(carry):
-        state, it, prev_elbo, pat, conv, eh, mh = carry
-        return jnp.logical_and(it < max_iter, jnp.logical_not(conv))
+        state, it, prev_elbo, pat, conv, div, eh, mh = carry
+        running = jnp.logical_not(jnp.logical_or(conv, div))
+        return jnp.logical_and(it < max_iter, running)
 
     def body(carry):
-        state, it, prev_elbo, pat, conv, eh, mh = carry
+        state, it, prev_elbo, pat, conv, div, eh, mh = carry
         state = step_fn(state, obs, pri, params, structure, lr)
         mu = dyad_ops.dyadic_mean_temporal(state.X_mean, r)
         elbo = compute_elbo(Y, params, pri, state, structure, mu_dyadic=mu)
@@ -637,12 +639,17 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
         small = jnp.logical_and(it > 0, rel < tol)
         pat = jnp.where(small, pat + 1, 0)
         conv = pat >= patience
-        return state, it + 1, elbo, pat, conv, eh, mh
+        # Failure detection: a non-finite ELBO means the update blew up
+        # (the reference loops on silently); halt and flag.
+        div = jnp.logical_not(jnp.isfinite(elbo))
+        return state, it + 1, elbo, pat, conv, div, eh, mh
 
     nanbuf = jnp.full((buf_size,), jnp.nan, Y.dtype)
     carry = (init, jnp.asarray(0), jnp.asarray(-jnp.inf, Y.dtype),
-             jnp.asarray(0), jnp.asarray(False), nanbuf, nanbuf)
-    state, it, _, _, conv, eh, mh = jax.lax.while_loop(cond, body, carry)
+             jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
+             nanbuf, nanbuf)
+    state, it, _, _, conv, div, eh, mh = jax.lax.while_loop(cond, body,
+                                                            carry)
     return FitResult(X_mean=state.X_mean, X_cov=state.X_cov,
                      elbo_history=eh, mse_history=mh, n_iter=it,
-                     converged=conv)
+                     converged=conv, diverged=div)

@@ -102,6 +102,11 @@ class TemporalAMECaviVI:
         self.history["elbo"].extend(float(v) for v in elbo_hist)
         self.history["reconstruction_error"].extend(float(v) for v in mse_hist)
         self._converged = bool(result.converged)
+        self._diverged = bool(result.diverged)
+        if self._diverged:
+            print(f"WARNING: {self.__class__.__name__} halted at iteration "
+                  f"{n_iter - 1}: ELBO became non-finite (try a smaller "
+                  "learning_rate or update_mode='block').")
 
         if verbose:
             for it in range(n_iter):

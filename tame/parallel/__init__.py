@@ -1,5 +1,10 @@
 """Multi-chip parallelism: device meshes, shardings, distributed init."""
 
+from tame.parallel.distributed import (
+    global_mesh,
+    initialize_distributed,
+    measure_scaling_efficiency,
+)
 from tame.parallel.mesh import (
     auto_mesh,
     cov_sharding,
@@ -12,6 +17,9 @@ from tame.parallel.mesh import (
 
 __all__ = [
     "auto_mesh",
+    "global_mesh",
+    "initialize_distributed",
+    "measure_scaling_efficiency",
     "cov_sharding",
     "make_mesh",
     "obs_sharding",

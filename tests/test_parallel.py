@@ -102,3 +102,73 @@ def test_graft_entry_single():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert np.isfinite(float(out[2]))
+
+
+class TestDeterminism:
+    def test_fit_bitwise_deterministic(self):
+        """Two identical fits must be bitwise identical — the multi-host
+        determinism story (SURVEY.md §5: no sanitizers on-device;
+        determinism tests instead)."""
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1, seed=9)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 8, 4, 4, "full",
+                               0.1, 0.5)
+        a = cavi.fit_cavi(Y, model.params, init, structure="full",
+                          update_mode="block", max_iter=15,
+                          learning_rate=0.8)
+        b = cavi.fit_cavi(Y, model.params, init, structure="full",
+                          update_mode="block", max_iter=15,
+                          learning_rate=0.8)
+        assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
+        assert np.array_equal(np.asarray(a.elbo_history),
+                              np.asarray(b.elbo_history), equal_nan=True)
+
+
+class TestFailureDetection:
+    def test_nan_divergence_halts_fit(self):
+        """A blow-up must stop the loop and set the diverged flag rather
+        than looping on NaNs (which the reference does silently)."""
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1, seed=9)
+        Y, _ = model.generate_data(return_latents=True)
+        # poison the data to force a non-finite ELBO immediately
+        Y_bad = jnp.asarray(Y).at[0, 1, 0, 0].set(jnp.nan)
+        init = cavi.init_state(jax.random.PRNGKey(0), 8, 4, 4, "full",
+                               0.1, 0.5)
+        out = cavi.fit_cavi(Y_bad, model.params, init, structure="full",
+                            max_iter=50, learning_rate=0.5)
+        assert bool(out.diverged)
+        assert int(out.n_iter) < 50
+
+
+class TestDistributedHelpers:
+    def test_initialize_single_process_noop(self):
+        from tame.parallel import initialize_distributed
+
+        assert initialize_distributed() is False
+
+    def test_global_mesh(self):
+        from tame.parallel import global_mesh
+
+        mesh = global_mesh()
+        assert mesh.devices.size == len(jax.devices())
+
+    @requires_8
+    def test_measure_scaling_efficiency(self):
+        from tame.parallel import measure_scaling_efficiency
+
+        model = TemporalAMEModel(n_nodes=16, n_time=4, latent_dim=1,
+                                 seed=2)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 16, 4, 4, "full",
+                               0.1, 0.5)
+
+        def fit_fn(Y_s, init_s, mesh):
+            out = cavi.fit_cavi(Y_s, model.params, init_s,
+                                structure="full", max_iter=5,
+                                learning_rate=0.5)
+            jax.block_until_ready(out)
+
+        results = measure_scaling_efficiency(fit_fn, Y, init, [1, 2])
+        assert set(results) == {1, 2}
+        assert results[1]["efficiency"] == 1.0
+        assert results[2]["wall_s"] > 0
