@@ -23,6 +23,7 @@ from tame.inference.logprob import (
 )
 from tame.inference.nuts import TemporalAMENUTS, nuts_kernel, run_nuts
 from tame.inference.smc import TemporalAMESMC, run_smc
+from tame.inference.smoothed import TemporalAMESmoothedVI, fit_cavi_smoothed
 
 __all__ = [
     "CaviState",
@@ -37,6 +38,8 @@ __all__ = [
     "TemporalAMEStructuredMFVI",
     "TemporalAMEHMC",
     "TemporalAMENUTS",
+    "TemporalAMESmoothedVI",
+    "fit_cavi_smoothed",
     "TemporalAMESMC",
     "run_nuts",
     "nuts_kernel",

@@ -163,18 +163,46 @@ def _obs_precision(U: Array, V: Array, R_inv: Array) -> Array:
     return P
 
 
-def _obs_nat_param(obs: ObsConstants, U: Array, V: Array) -> Array:
+def _obs_nat_param(obs: ObsConstants, X_mean: Array, r: int,
+                   R_inv: Array, corrected: bool) -> Array:
     """Observation natural parameter for every (i, t): (n, T, d).
 
     The U/V slots are MXU contractions of the constant dyad weights against
     the current means; diagonal terms vanish because Y[i,i] = 0.
+
+    ``corrected=False`` reproduces the reference's acknowledged
+    simplification (``naive_mf.py:372-373``): eta uses the raw ``y`` without
+    subtracting the other node's additive offsets, which biases the fixed
+    point (final demo-config MSE ~0.47, matching the measured reference).
+    ``corrected=True`` subtracts the offsets ``o_j = [b_j, a_j]`` —
+    in sufficient-statistics form, with c_j = p b_j + q a_j and
+    d_j = q b_j + p a_j:
+
+        eta_a[i] -= sum_{j!=i} c_j           eta_U[i] -= sum_{j!=i} c_j V_j
+        eta_b[i] -= sum_{j!=i} d_j           eta_V[i] -= sum_{j!=i} d_j U_j
+
+    — the exact CAVI coordinate update, converging to a better optimum.
     """
+    a, b, U, V = dyad_ops.split_state(X_mean, r)
+    eta_a, eta_b = obs.eta_a, obs.eta_b
     etaU = jnp.einsum("ijt,jtr->itr", obs.W0, V,
                       preferred_element_type=jnp.float32, precision=HIGHEST)
     etaV = jnp.einsum("ijt,jtr->itr", obs.W1, U,
                       preferred_element_type=jnp.float32, precision=HIGHEST)
+    if corrected:
+        p, q = R_inv[0, 0], R_inv[0, 1]
+        c = p * b + q * a                                   # (n, T)
+        dd = q * b + p * a
+        eta_a = eta_a - (c.sum(0)[None] - c)
+        eta_b = eta_b - (dd.sum(0)[None] - dd)
+        cV = jnp.einsum("jt,jtr->tr", c, V,
+                        precision=HIGHEST)[None] - c[..., None] * V
+        dU = jnp.einsum("jt,jtr->tr", dd, U,
+                        precision=HIGHEST)[None] - dd[..., None] * U
+        etaU = etaU - cV
+        etaV = etaV - dU
     return jnp.concatenate(
-        [obs.eta_a[..., None], obs.eta_b[..., None], etaU, etaV], axis=-1)
+        [eta_a[..., None], eta_b[..., None], etaU, etaV], axis=-1)
 
 
 def _prior_precision(pri: PriorMatrices, T: int) -> Array:
@@ -325,8 +353,8 @@ def compute_elbo(Y: Array, params: AMEParams, pri: PriorMatrices,
 # ---------------------------------------------------------------------------
 
 def cavi_step_jacobi(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
-                     params: AMEParams, structure: str, lr: Array
-                     ) -> CaviState:
+                     params: AMEParams, structure: str, lr: Array,
+                     corrected: bool = False) -> CaviState:
     """Simultaneous (Jacobi) update of every q(X_i^t) factor.
 
     All factors read the previous iterate; same fixed points as the
@@ -338,7 +366,8 @@ def cavi_step_jacobi(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
     _, _, U, V = dyad_ops.split_state(state.X_mean, r)
 
     P = _obs_precision(U, V, params.R_inv) + _prior_precision(pri, T)[None]
-    eta = _obs_nat_param(obs, U, V) + _prior_nat_param(pri, state.X_mean)
+    eta = (_obs_nat_param(obs, state.X_mean, r, params.R_inv, corrected)
+           + _prior_nat_param(pri, state.X_mean))
 
     mu_new, cov_new = _SOLVERS[structure](P, eta)
     X_mean = lr * mu_new + (1.0 - lr) * state.X_mean
@@ -348,7 +377,8 @@ def cavi_step_jacobi(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
 
 def cavi_step_block(state: CaviState, obs: ObsConstants,
                     pri: PriorMatrices, params: AMEParams, structure: str,
-                    lr: Array, num_blocks: int) -> CaviState:
+                    lr: Array, num_blocks: int,
+                    corrected: bool = False) -> CaviState:
     """Block Gauss-Seidel: nodes split into ``num_blocks`` groups updated in
     sequence, each group reading the freshest global state; all (node, time)
     factors within a group update simultaneously.
@@ -425,10 +455,25 @@ def cavi_step_block(state: CaviState, obs: ObsConstants,
         etaV = jnp.einsum("ijt,jtr->itr", W1b, U,
                           preferred_element_type=jnp.float32,
                           precision=HIGHEST)
+        eta_a_b = jax.lax.dynamic_index_in_dim(eta_ar, b, 0, False)
+        eta_b_b = jax.lax.dynamic_index_in_dim(eta_br, b, 0, False)
+        if corrected:
+            a_all = X_mean[..., 0]                         # (n, T)
+            b_all = X_mean[..., 1]
+            cc = p * b_all + q * a_all
+            ddc = q * b_all + p * a_all
+            cb = jax.lax.dynamic_slice_in_dim(cc, start, bs, 0)
+            db = jax.lax.dynamic_slice_in_dim(ddc, start, bs, 0)
+            eta_a_b = eta_a_b - (cc.sum(0)[None] - cb)
+            eta_b_b = eta_b_b - (ddc.sum(0)[None] - db)
+            cV = jnp.einsum("jt,jtr->tr", cc, V,
+                            precision=HIGHEST)[None] - cb[..., None] * Vb
+            dU = jnp.einsum("jt,jtr->tr", ddc, U,
+                            precision=HIGHEST)[None] - db[..., None] * Ub
+            etaU = etaU - cV
+            etaV = etaV - dU
         eta = jnp.concatenate(
-            [jax.lax.dynamic_index_in_dim(eta_ar, b, 0, False)[..., None],
-             jax.lax.dynamic_index_in_dim(eta_br, b, 0, False)[..., None],
-             etaU, etaV], axis=-1)
+            [eta_a_b[..., None], eta_b_b[..., None], etaU, etaV], axis=-1)
         eta = eta + jax.lax.dynamic_slice_in_dim(
             _prior_nat_param(pri, X_mean), start, bs, 0)
 
@@ -520,9 +565,9 @@ def cavi_step_seq(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
 
 
 def cavi_step_block_wrapper(state, obs, pri, params, structure, lr, *,
-                            num_blocks):
+                            num_blocks, corrected=False):
     return cavi_step_block(state, obs, pri, params, structure, lr,
-                           num_blocks)
+                           num_blocks, corrected)
 
 
 # ---------------------------------------------------------------------------
@@ -569,7 +614,8 @@ class FitResult(NamedTuple):
 def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
              structure: str = "full", update_mode: str = "jacobi",
              max_iter: int = 100, learning_rate=1.0, tolerance=1e-4,
-             patience: int = 3, num_blocks=None) -> FitResult:
+             patience: int = 3, num_blocks=None,
+             corrected: bool = False) -> FitResult:
     """Run damped CAVI to convergence inside a single compiled loop.
 
     Convergence rule mirrors the reference trainer (``base.py:170-203``):
@@ -581,7 +627,16 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     ``max_iter`` is passed as a *dynamic* bound; the history buffer is sized
     to the next power of two so changing the iteration budget does not
     trigger recompilation.
+
+    ``corrected=False`` (default) reproduces the reference's biased natural
+    parameter (offset omission, SURVEY.md §2C-4) for parity;
+    ``corrected=True`` uses the exact coordinate update (better optimum,
+    supported by the jacobi and block modes).
     """
+    if corrected and update_mode == "seq":
+        raise ValueError(
+            "corrected=True is not supported with update_mode='seq' "
+            "(seq exists for reference-trajectory parity)")
     buf = 64
     while buf < max_iter:
         buf *= 2
@@ -596,16 +651,16 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                           jnp.asarray(tolerance, Y.dtype),
                           structure=structure, update_mode=update_mode,
                           buf_size=buf, patience=patience,
-                          num_blocks=num_blocks)
+                          num_blocks=num_blocks, corrected=corrected)
 
 
 @functools.partial(jax.jit, static_argnames=("structure", "update_mode",
                                              "buf_size", "patience",
-                                             "num_blocks"))
+                                             "num_blocks", "corrected"))
 def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
                    max_iter: Array, learning_rate: Array, tolerance: Array,
                    *, structure: str, update_mode: str, buf_size: int,
-                   patience: int, num_blocks) -> FitResult:
+                   patience: int, num_blocks, corrected: bool) -> FitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
@@ -615,10 +670,11 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
     obs = precompute_obs_constants(Y, params.R_inv)
     pri = precompute_priors(params)
     if update_mode == "jacobi":
-        step_fn = cavi_step_jacobi
+        step_fn = functools.partial(cavi_step_jacobi, corrected=corrected)
     elif update_mode == "block":
         step_fn = functools.partial(cavi_step_block_wrapper,
-                                    num_blocks=num_blocks)
+                                    num_blocks=num_blocks,
+                                    corrected=corrected)
     else:
         step_fn = cavi_step_seq
 

@@ -47,7 +47,8 @@ class TemporalAMECaviVI:
     def __init__(self, model, structure: Optional[str] = None,
                  learning_rate: float = 1.0, init_scale: float = 0.1,
                  cov_init_scale: float = 0.5, seed: int = 42,
-                 update_mode: str = "block", num_blocks=None):
+                 update_mode: str = "block", num_blocks=None,
+                 corrected: bool = False):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -65,6 +66,7 @@ class TemporalAMECaviVI:
         self.seed = seed
         self.update_mode = update_mode
         self.num_blocks = num_blocks
+        self.corrected = corrected
         self.params: AMEParams = model.params
 
         self.history: Dict[str, List[float]] = {
@@ -91,7 +93,7 @@ class TemporalAMECaviVI:
             cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
             structure=self.structure, update_mode=self.update_mode,
             max_iter=max_iter, learning_rate=self.lr, tolerance=tolerance,
-            num_blocks=self.num_blocks)
+            num_blocks=self.num_blocks, corrected=self.corrected)
         result = jax.block_until_ready(result)
 
         self.X_mean = result.X_mean
@@ -192,10 +194,11 @@ class TemporalAMENaiveMFVI(TemporalAMECaviVI):
 
     def __init__(self, model, learning_rate: float = 1.0,
                  init_scale: float = 0.1, seed: int = 42,
-                 update_mode: str = "block"):
+                 update_mode: str = "block", corrected: bool = False):
         super().__init__(model, structure="diag",
                          learning_rate=learning_rate, init_scale=init_scale,
-                         seed=seed, update_mode=update_mode)
+                         seed=seed, update_mode=update_mode,
+                         corrected=corrected)
 
 
 class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
@@ -210,7 +213,7 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
     def __init__(self, model, factorization: str = "good",
                  learning_rate: float = 1.0, init_scale: float = 0.1,
                  cov_init_scale: float = 0.5, seed: int = 42,
-                 update_mode: str = "block"):
+                 update_mode: str = "block", corrected: bool = False):
         if factorization not in ("good", "bad"):
             raise ValueError(f"Unknown factorization '{factorization}'")
         self.factorization = factorization
@@ -218,7 +221,7 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
         super().__init__(model, structure=structure,
                          learning_rate=learning_rate, init_scale=init_scale,
                          cov_init_scale=cov_init_scale, seed=seed,
-                         update_mode=update_mode)
+                         update_mode=update_mode, corrected=corrected)
 
     def get_factorization_type(self) -> str:
         return self.factorization

@@ -64,7 +64,9 @@ class TestObservationTermOracle:
         P_all = np.asarray(cavi._obs_precision(U, V, jnp.asarray(R_inv)))
         obs = cavi.precompute_obs_constants(jnp.asarray(Y),
                                             jnp.asarray(R_inv))
-        eta_all = np.asarray(cavi._obs_nat_param(obs, U, V))
+        eta_all = np.asarray(cavi._obs_nat_param(
+            obs, jnp.asarray(X_mean), m.r, jnp.asarray(R_inv),
+            corrected=False))
 
         for (i, t) in [(0, 0), (3, 2), (m.n - 1, m.T - 1)]:
             P_ref, eta_ref = self._direct_obs_terms(Y, X_mean, R_inv, i, t,
@@ -298,3 +300,88 @@ class TestBlockGaussSeidel:
                             update_mode="block", max_iter=2,
                             learning_rate=0.5)
         assert np.all(np.isfinite(np.asarray(out.X_mean)))
+
+
+class TestCorrectedMode:
+    def test_corrected_improves_fixed_point(self):
+        """The reference's natural parameter omits the other-node offsets
+        (SURVEY.md §2C-4), biasing its fixed point; the corrected update
+        must converge to a substantially better reconstruction."""
+        model = TemporalAMEModel(n_nodes=12, n_time=6, latent_dim=2,
+                                 seed=4)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 12, 6, 6, "full",
+                               0.1, 0.5)
+        biased = cavi.fit_cavi(Y, model.params, init, structure="full",
+                               update_mode="block", max_iter=300,
+                               learning_rate=0.7, tolerance=1e-7,
+                               num_blocks=4, corrected=False)
+        exact = cavi.fit_cavi(Y, model.params, init, structure="full",
+                              update_mode="block", max_iter=300,
+                              learning_rate=0.7, tolerance=1e-7,
+                              num_blocks=4, corrected=True)
+        mse_b = float(np.asarray(biased.mse_history)[int(biased.n_iter) - 1])
+        mse_e = float(np.asarray(exact.mse_history)[int(exact.n_iter) - 1])
+        assert mse_e < 0.8 * mse_b
+
+    def test_corrected_seq_rejected(self):
+        model = TemporalAMEModel(n_nodes=6, n_time=3, latent_dim=1, seed=0)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 6, 3, 4, "full",
+                               0.1, 0.5)
+        with pytest.raises(ValueError, match="corrected"):
+            cavi.fit_cavi(Y, model.params, init, structure="full",
+                          update_mode="seq", corrected=True)
+
+    def test_jacobi_and_block_corrected_agree(self):
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1, seed=6)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 8, 4, 4, "full",
+                               0.1, 0.5)
+        from tame.ops import dyad as dyad_ops
+
+        oj = cavi.fit_cavi(Y, model.params, init, structure="full",
+                           update_mode="jacobi", max_iter=400,
+                           learning_rate=0.5, tolerance=1e-10,
+                           corrected=True)
+        ob = cavi.fit_cavi(Y, model.params, init, structure="full",
+                           update_mode="block", max_iter=400,
+                           learning_rate=0.5, tolerance=1e-10,
+                           num_blocks=4, corrected=True)
+        mu_j = np.asarray(dyad_ops.dyadic_mean_temporal(oj.X_mean, 1))
+        mu_b = np.asarray(dyad_ops.dyadic_mean_temporal(ob.X_mean, 1))
+        assert np.allclose(mu_j, mu_b, atol=0.05)
+
+
+class TestSmoothedEngine:
+    def test_smoothed_matches_or_beats_good(self):
+        from tame.inference import (
+            TemporalAMESmoothedVI,
+            TemporalAMEStructuredMFVI,
+        )
+
+        model = TemporalAMEModel(n_nodes=10, n_time=6, latent_dim=2,
+                                 seed=8)
+        model.generate_data()
+        good = TemporalAMEStructuredMFVI(model, factorization="good",
+                                         learning_rate=0.7,
+                                         corrected=True)
+        hg = good.fit(max_iter=300, tolerance=1e-7, verbose=False)
+        sm = TemporalAMESmoothedVI(model, learning_rate=0.7)
+        hs = sm.fit(max_iter=300, tolerance=1e-7, verbose=False)
+        assert (hs["reconstruction_error"][-1]
+                <= hg["reconstruction_error"][-1] * 1.05)
+
+    def test_smoothed_state_shapes(self):
+        from tame.inference import TemporalAMESmoothedVI
+
+        model = TemporalAMEModel(n_nodes=6, n_time=4, latent_dim=1, seed=1)
+        model.generate_data()
+        sm = TemporalAMESmoothedVI(model)
+        sm.fit(max_iter=5, verbose=False)
+        assert sm.X_mean.shape == (6, 4, 4)
+        assert sm.X_cov.shape == (6, 4, 4, 4)
+        assert sm.X_cross.shape == (6, 3, 4, 4)
+        # marginal covariances SPD
+        eigs = np.linalg.eigvalsh(np.asarray(sm.X_cov))
+        assert np.all(eigs > 0)

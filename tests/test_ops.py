@@ -100,3 +100,61 @@ class TestDyadOps:
         rebuilt = jnp.concatenate(
             [a[..., None], b[..., None], U, V], axis=-1)
         assert np.allclose(np.asarray(rebuilt), np.asarray(X))
+
+
+class TestBlockTridiagSmoother:
+    """The smoother must agree with a dense solve of the same system."""
+
+    def _random_system(self, key, T, d):
+        k1, k2, k3 = jax.random.split(key, 3)
+        A = jax.random.normal(k1, (T, d, d))
+        D = jnp.matmul(A, jnp.swapaxes(A, -1, -2)) + 5.0 * jnp.eye(d)
+        O = 0.3 * jax.random.normal(k2, (d, d))
+        b = jax.random.normal(k3, (T, d))
+        return D, O, b
+
+    def test_matches_dense(self):
+        from tame.ops.tridiag import block_tridiag_smoother, dense_precision
+
+        T, d = 6, 4
+        D, O, b = self._random_system(jax.random.PRNGKey(0), T, d)
+        out = block_tridiag_smoother(D, O, b)
+
+        P = np.asarray(dense_precision(D, O), dtype=np.float64)
+        mean_dense = np.linalg.solve(P, np.asarray(b, np.float64).ravel())
+        cov_dense = np.linalg.inv(P)
+
+        assert np.allclose(np.asarray(out.mean).ravel(), mean_dense,
+                           atol=1e-3)
+        for t in range(T):
+            blk = cov_dense[t * d:(t + 1) * d, t * d:(t + 1) * d]
+            assert np.allclose(np.asarray(out.cov[t]), blk, atol=1e-3), t
+        for t in range(T - 1):
+            blk = cov_dense[t * d:(t + 1) * d, (t + 1) * d:(t + 2) * d]
+            assert np.allclose(np.asarray(out.cross_cov[t]), blk,
+                               atol=1e-3), t
+        sign, logdet_dense = np.linalg.slogdet(P)
+        assert sign > 0
+        assert float(out.logdet) == pytest.approx(logdet_dense, rel=1e-4)
+
+    def test_single_time_step(self):
+        from tame.ops.tridiag import block_tridiag_smoother
+
+        D, O, b = self._random_system(jax.random.PRNGKey(1), 1, 3)
+        out = block_tridiag_smoother(D, O, b)
+        assert np.allclose(np.asarray(out.mean[0]),
+                           np.linalg.solve(np.asarray(D[0]),
+                                           np.asarray(b[0])), atol=1e-4)
+        assert out.cross_cov.shape == (0, 3, 3)
+
+    def test_vmapped_over_nodes(self):
+        from tame.ops.tridiag import block_tridiag_smoother
+
+        keys = jax.random.split(jax.random.PRNGKey(2), 5)
+        systems = [self._random_system(k, 4, 3) for k in keys]
+        D = jnp.stack([s[0] for s in systems])
+        O = systems[0][1]
+        b = jnp.stack([s[2] for s in systems])
+        out = jax.vmap(lambda Di, bi: block_tridiag_smoother(Di, O, bi))(D, b)
+        assert out.mean.shape == (5, 4, 3)
+        assert np.all(np.isfinite(np.asarray(out.mean)))
