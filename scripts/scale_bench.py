@@ -54,6 +54,28 @@ def main(n=2000, T=50, r=4):
         results.append({"iters": ni, "wall_s": dt, "mse": mse,
                         "converged": bool(out.converged)})
 
+    # sparse-diagnostics variant: update cost only
+    def fit_sparse(i):
+        init = cavi.init_state(jax.random.fold_in(key, 400 + i), n, T,
+                               cfg.d, "full", 0.1, 0.5)
+        out = cavi.fit_cavi(Y, params, init, structure="full",
+                            update_mode="block", max_iter=50,
+                            learning_rate=0.8, tolerance=1e-4,
+                            num_blocks=8, elbo_every=10)
+        jax.block_until_ready(out)
+        return out
+
+    fit_sparse(0)
+    for i in (1,):
+        t0 = time.perf_counter()
+        out = fit_sparse(i)
+        dt = time.perf_counter() - t0
+        ni = int(out.n_iter)
+        print(f"sparse run: {ni} iters in {dt:.2f}s "
+              f"({dt/ni*1000:.0f} ms/it with elbo_every=10)", flush=True)
+        results.append({"iters": ni, "wall_s": dt,
+                        "elbo_every": 10})
+
     with open("/root/repo/scale_bench_result.json", "w") as f:
         json.dump({"config": {"n": n, "T": T, "r": r},
                    "gen_s": t_gen, "compile_s": t_compile,

@@ -615,7 +615,7 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
              structure: str = "full", update_mode: str = "jacobi",
              max_iter: int = 100, learning_rate=1.0, tolerance=1e-4,
              patience: int = 3, num_blocks=None,
-             corrected: bool = False) -> FitResult:
+             corrected: bool = False, elbo_every: int = 1) -> FitResult:
     """Run damped CAVI to convergence inside a single compiled loop.
 
     Convergence rule mirrors the reference trainer (``base.py:170-203``):
@@ -632,6 +632,13 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     parameter (offset omission, SURVEY.md §2C-4) for parity;
     ``corrected=True`` uses the exact coordinate update (better optimum,
     supported by the jacobi and block modes).
+
+    ``elbo_every=k`` evaluates the ELBO/MSE diagnostics only every k-th
+    iteration (history slots in between stay NaN) — at production scale the
+    diagnostic pass reads O(n^2 T) observation-sized tensors and rivals the
+    update itself; convergence is then judged on the evaluated points with
+    an effective tolerance window of k iterations.  ``1`` (default) matches
+    the reference's per-iteration semantics.
     """
     if corrected and update_mode == "seq":
         raise ValueError(
@@ -651,16 +658,19 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                           jnp.asarray(tolerance, Y.dtype),
                           structure=structure, update_mode=update_mode,
                           buf_size=buf, patience=patience,
-                          num_blocks=num_blocks, corrected=corrected)
+                          num_blocks=num_blocks, corrected=corrected,
+                          elbo_every=elbo_every)
 
 
 @functools.partial(jax.jit, static_argnames=("structure", "update_mode",
                                              "buf_size", "patience",
-                                             "num_blocks", "corrected"))
+                                             "num_blocks", "corrected",
+                                             "elbo_every"))
 def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
                    max_iter: Array, learning_rate: Array, tolerance: Array,
                    *, structure: str, update_mode: str, buf_size: int,
-                   patience: int, num_blocks, corrected: bool) -> FitResult:
+                   patience: int, num_blocks, corrected: bool,
+                   elbo_every: int) -> FitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
@@ -683,22 +693,36 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
         running = jnp.logical_not(jnp.logical_or(conv, div))
         return jnp.logical_and(it < max_iter, running)
 
-    def body(carry):
-        state, it, prev_elbo, pat, conv, div, eh, mh = carry
-        state = step_fn(state, obs, pri, params, structure, lr)
+    def diagnostics(state):
         mu = dyad_ops.dyadic_mean_temporal(state.X_mean, r)
         elbo = compute_elbo(Y, params, pri, state, structure, mu_dyadic=mu)
         mse = dyad_ops.masked_sq_error_temporal(Y, mu)
-        eh = eh.at[it].set(elbo)
-        mh = mh.at[it].set(mse)
+        return elbo, mse
+
+    def body(carry):
+        state, it, prev_elbo, pat, conv, div, eh, mh = carry
+        state = step_fn(state, obs, pri, params, structure, lr)
+        is_eval = jnp.logical_or((it + 1) % elbo_every == 0,
+                                 it + 1 == max_iter)
+        if elbo_every == 1:
+            elbo, mse = diagnostics(state)
+        else:
+            elbo, mse = jax.lax.cond(
+                is_eval, diagnostics,
+                lambda _s: (jnp.asarray(jnp.nan, Y.dtype),
+                            jnp.asarray(jnp.nan, Y.dtype)),
+                state)
+        eh = jnp.where(is_eval, eh.at[it].set(elbo), eh)
+        mh = jnp.where(is_eval, mh.at[it].set(mse), mh)
         rel = jnp.abs(elbo - prev_elbo) / (jnp.abs(prev_elbo) + 1e-8)
-        small = jnp.logical_and(it > 0, rel < tol)
-        pat = jnp.where(small, pat + 1, 0)
+        small = jnp.logical_and(jnp.logical_and(it > 0, is_eval), rel < tol)
+        pat = jnp.where(is_eval, jnp.where(small, pat + 1, 0), pat)
         conv = pat >= patience
         # Failure detection: a non-finite ELBO means the update blew up
         # (the reference loops on silently); halt and flag.
-        div = jnp.logical_not(jnp.isfinite(elbo))
-        return state, it + 1, elbo, pat, conv, div, eh, mh
+        div = jnp.logical_and(is_eval, jnp.logical_not(jnp.isfinite(elbo)))
+        prev_elbo = jnp.where(is_eval, elbo, prev_elbo)
+        return state, it + 1, prev_elbo, pat, conv, div, eh, mh
 
     nanbuf = jnp.full((buf_size,), jnp.nan, Y.dtype)
     carry = (init, jnp.asarray(0), jnp.asarray(-jnp.inf, Y.dtype),

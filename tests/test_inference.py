@@ -385,3 +385,29 @@ class TestSmoothedEngine:
         # marginal covariances SPD
         eigs = np.linalg.eigvalsh(np.asarray(sm.X_cov))
         assert np.all(eigs > 0)
+
+
+class TestElboEvery:
+    def test_sparse_diagnostics_match_dense_trajectory(self):
+        """elbo_every=k must leave the update trajectory unchanged: the
+        evaluated points agree with the every-iteration run."""
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1, seed=2)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 8, 4, 4, "full",
+                               0.1, 0.5)
+        dense = cavi.fit_cavi(Y, model.params, init, structure="full",
+                              update_mode="block", max_iter=20,
+                              learning_rate=0.7, tolerance=0.0)
+        sparse = cavi.fit_cavi(Y, model.params, init, structure="full",
+                               update_mode="block", max_iter=20,
+                               learning_rate=0.7, tolerance=0.0,
+                               elbo_every=5)
+        eh_d = np.asarray(dense.elbo_history)[:20]
+        eh_s = np.asarray(sparse.elbo_history)[:20]
+        # evaluated slots: iterations 4, 9, 14, 19 (0-indexed)
+        for it in (4, 9, 14, 19):
+            assert eh_s[it] == pytest.approx(eh_d[it], rel=1e-5)
+        # skipped slots are NaN
+        assert np.isnan(eh_s[0]) and np.isnan(eh_s[7])
+        assert np.allclose(np.asarray(dense.X_mean),
+                           np.asarray(sparse.X_mean))
