@@ -24,7 +24,7 @@ Quick start
 __version__ = "0.1.0"
 
 from tame.config import InferenceConfig, MeshConfig, ModelConfig
-from tame.models import StaticAMEModel, TemporalAMEModel
+from tame.models import BaseAMEModel, StaticAMEModel, TemporalAMEModel
 from tame.inference import (
     TemporalAMECaviVI,
     TemporalAMENaiveMFVI,
@@ -35,6 +35,7 @@ __all__ = [
     "ModelConfig",
     "InferenceConfig",
     "MeshConfig",
+    "BaseAMEModel",
     "StaticAMEModel",
     "TemporalAMEModel",
     "TemporalAMECaviVI",

@@ -10,6 +10,8 @@ from tame.inference.cavi import (
     init_state,
 )
 from tame.inference.engine import (
+    BaseTemporalVariationalInference,
+    BaseVariationalInference,
     TemporalAMECaviVI,
     TemporalAMENaiveMFVI,
     TemporalAMEStructuredMFVI,
@@ -33,6 +35,8 @@ __all__ = [
     "compute_elbo",
     "fit_cavi",
     "init_state",
+    "BaseVariationalInference",
+    "BaseTemporalVariationalInference",
     "TemporalAMECaviVI",
     "TemporalAMENaiveMFVI",
     "TemporalAMEStructuredMFVI",

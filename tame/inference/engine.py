@@ -186,6 +186,14 @@ class TemporalAMECaviVI:
         return jnp.swapaxes(preds, 0, 1)  # (n, n_steps, d)
 
 
+# Reference-surface aliases (reference ``src/inference/__init__.py:45-57``
+# exports BaseVariationalInference / BaseTemporalVariationalInference): the
+# generic CAVI engine plays both roles here — all reference engines are
+# temporal, and the trainer-loop surface lives on TemporalAMECaviVI.
+BaseVariationalInference = TemporalAMECaviVI
+BaseTemporalVariationalInference = TemporalAMECaviVI
+
+
 class TemporalAMENaiveMFVI(TemporalAMECaviVI):
     """Naive (fully factorized, diagonal-covariance) mean-field VI —
     reference ``TemporalAMENaiveMFVI`` (``naive_mf.py:29-396``)."""

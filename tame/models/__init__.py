@@ -1,5 +1,6 @@
 """AME generative models (static and temporal), TPU-native."""
 
+from tame.models.base import BaseAMEModel
 from tame.models.params import AMEParams, build_params
 from tame.models.static_ame import StaticAMEModel, sample_static
 from tame.models.temporal_ame import (
@@ -11,6 +12,7 @@ from tame.models.temporal_ame import (
 
 __all__ = [
     "AMEParams",
+    "BaseAMEModel",
     "build_params",
     "StaticAMEModel",
     "TemporalAMEModel",

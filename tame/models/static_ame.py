@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from tame.config import ModelConfig
+from tame.models.base import BaseAMEModel
 from tame.models.params import AMEParams, build_params
 from tame.ops import dyad as dyad_ops
 
@@ -41,7 +42,7 @@ def sample_static(params: AMEParams, key: Array, n: int
     return Y, A, M
 
 
-class StaticAMEModel:
+class StaticAMEModel(BaseAMEModel):
     """Static AME model (reference class surface, ``static_ame.py:30-325``)."""
 
     def __init__(

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from tame.config import ModelConfig
+from tame.models.base import BaseAMEModel
 from tame.models.params import AMEParams, build_params
 from tame.ops import dyad as dyad_ops
 
@@ -84,7 +85,7 @@ def sample(params: AMEParams, key: Array, n: int, T: int
 # Reference-compatible class surface
 # ---------------------------------------------------------------------------
 
-class TemporalAMEModel:
+class TemporalAMEModel(BaseAMEModel):
     """Temporal AME model with AR(1) dynamics (TPU-native).
 
     Mirrors the reference class surface (``temporal_ame.py:25-362``): same
