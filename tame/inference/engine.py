@@ -78,6 +78,26 @@ class TemporalAMECaviVI:
         self.X_mean: Array = state.X_mean
         self.X_cov: Array = state.X_cov
 
+    @classmethod
+    def from_config(cls, model, config: InferenceConfig):
+        """Build an engine from a typed :class:`tame.config.InferenceConfig`."""
+        kwargs = dict(
+            learning_rate=config.learning_rate,
+            init_scale=config.init_scale,
+            seed=config.seed,
+            update_mode=config.update_mode,
+        )
+        if cls is TemporalAMECaviVI:
+            kwargs["structure"] = config.structure
+            kwargs["cov_init_scale"] = config.cov_init_scale
+        elif cls is TemporalAMEStructuredMFVI:
+            from tame.config import STRUCTURE_TO_FACTORIZATION
+
+            kwargs["factorization"] = STRUCTURE_TO_FACTORIZATION.get(
+                config.structure, "good")
+            kwargs["cov_init_scale"] = config.cov_init_scale
+        return cls(model, **kwargs)
+
     # ------------------------------------------------------------------
     def fit(self, max_iter: int = 100, tolerance: float = 1e-4,
             verbose: bool = True, check_every: int = 10

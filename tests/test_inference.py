@@ -411,3 +411,22 @@ class TestElboEvery:
         assert np.isnan(eh_s[0]) and np.isnan(eh_s[7])
         assert np.allclose(np.asarray(dense.X_mean),
                            np.asarray(sparse.X_mean))
+
+
+class TestFromConfig:
+    def test_engine_from_config(self, temporal_data):
+        from tame.config import InferenceConfig
+        from tame.inference import (
+            TemporalAMECaviVI,
+            TemporalAMEStructuredMFVI,
+        )
+
+        cfg = InferenceConfig(structure="block", learning_rate=0.5,
+                              update_mode="jacobi", seed=7)
+        vi = TemporalAMEStructuredMFVI.from_config(temporal_data["model"],
+                                                   cfg)
+        assert vi.get_factorization_type() == "bad"
+        assert vi.lr == 0.5
+        assert vi.update_mode == "jacobi"
+        vi2 = TemporalAMECaviVI.from_config(temporal_data["model"], cfg)
+        assert vi2.structure == "block"

@@ -124,3 +124,17 @@ class TestEngineResume:
         vi2 = TemporalAMENaiveMFVI(temporal_data["model"])
         with pytest.raises(ValueError, match="structure"):
             vi2.load_checkpoint(tmp_path / "ckpt")
+
+
+class TestOrbax:
+    def test_orbax_roundtrip(self, tmp_path):
+        import numpy as np
+
+        from tame.io import load_orbax, save_orbax
+
+        state = {"X_mean": np.arange(12.0).reshape(3, 4),
+                 "step": np.asarray(5)}
+        save_orbax(tmp_path / "ock", state)
+        loaded = load_orbax(tmp_path / "ock")
+        assert np.allclose(loaded["X_mean"], state["X_mean"])
+        assert int(loaded["step"]) == 5
