@@ -13,6 +13,7 @@ import json
 import time
 
 import jax
+import numpy as np
 
 from tame.config import ModelConfig
 from tame.inference import cavi
@@ -38,7 +39,9 @@ def main():
         out = cavi.fit_cavi(Y, params, st, structure="full",
                             update_mode="jacobi", max_iter=N_ITERS,
                             learning_rate=0.7, tolerance=0.0)
-        jax.block_until_ready(out)
+        # Host fetch: over the tunnel transport block_until_ready alone can
+        # return before remote execution completes (CLAUDE.md).
+        np.asarray(out.X_mean)
         assert int(out.n_iter) == N_ITERS
         return out
 

@@ -73,6 +73,13 @@ class InferenceConfig:
         node), matching the reference trajectory semantics
         (``naive_mf.py:203-205``, ``naive_mf.py:235``).  Compiled via
         ``lax.fori_loop``/``lax.scan``; useful for small-n parity studies.
+
+    ``mixed_precision`` stores the constant dyad-weight tensors in bfloat16
+    and runs the eta contractions as single-pass MXU matmuls with float32
+    accumulation; ``diag_mode="stats"`` computes per-iteration ELBO/MSE from
+    global sufficient statistics instead of an O(n^2 T) residual pass.  Both
+    are production-scale speedups validated against the exact paths
+    (``tame.inference.cavi.fit_cavi``).
     """
 
     structure: str = "full"  # "diag" | "full" | "block" (naive / good / bad)
@@ -83,6 +90,8 @@ class InferenceConfig:
     tolerance: float = 1e-4
     patience: int = 3  # consecutive small-rel-change iters (base.py:183-191)
     update_mode: str = "block"
+    mixed_precision: bool = False
+    diag_mode: str = "exact"  # "exact" | "stats"
     seed: int = 42
 
     def __post_init__(self):
@@ -93,6 +102,8 @@ class InferenceConfig:
             )
         if self.update_mode not in ("jacobi", "block", "seq"):
             raise ValueError(f"Unknown update_mode '{self.update_mode}'")
+        if self.diag_mode not in ("exact", "stats"):
+            raise ValueError(f"Unknown diag_mode '{self.diag_mode}'")
 
 
 # Mapping between the reference's factorization nomenclature and ours.

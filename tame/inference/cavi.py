@@ -89,11 +89,38 @@ class CaviState(NamedTuple):
     X_cov: Array   # (n, T, d, d)
 
 
-def precompute_obs_constants(Y: Array, R_inv: Array) -> ObsConstants:
+def precompute_obs_constants(Y: Array, R_inv: Array,
+                             w_dtype=None) -> ObsConstants:
+    """Dyad weights and their row sums; constant across CAVI iterations.
+
+    ``w_dtype=jnp.bfloat16`` stores the (n, n, T) weight tensors — the
+    engine's dominant HBM traffic — in half precision; the row sums (and
+    everything downstream) stay float32.
+    """
     p, q = R_inv[0, 0], R_inv[0, 1]
     W0 = p * Y[..., 0] + q * Y[..., 1]
     W1 = q * Y[..., 0] + p * Y[..., 1]
-    return ObsConstants(W0=W0, W1=W1, eta_a=W0.sum(1), eta_b=W1.sum(1))
+    eta_a, eta_b = W0.sum(1), W1.sum(1)
+    if w_dtype is not None:
+        W0, W1 = W0.astype(w_dtype), W1.astype(w_dtype)
+    return ObsConstants(W0=W0, W1=W1, eta_a=eta_a, eta_b=eta_b)
+
+
+def _eta_contract(W: Array, Z: Array) -> Array:
+    """The engine's dominant contraction ``einsum("ijt,jtr->itr")``.
+
+    float32 weights use full (6-pass) precision — the TPU default bf16
+    matmul loses too much on these data-sized sums (CLAUDE.md).  bfloat16
+    weights (mixed-precision mode) run one bf16 pass with float32
+    accumulation: half the HBM traffic, 6x less MXU work, and the rounding
+    enters only through the *stored* weights, bounded by bf16's ~0.4 %
+    relative error on the data.
+    """
+    if W.dtype == jnp.bfloat16:
+        return jnp.einsum("ijt,jtr->itr", W, Z.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    return jnp.einsum("ijt,jtr->itr", W, Z,
+                      preferred_element_type=jnp.float32, precision=HIGHEST)
 
 
 def precompute_priors(params: AMEParams) -> PriorMatrices:
@@ -108,6 +135,108 @@ def precompute_priors(params: AMEParams) -> PriorMatrices:
         logdet_Q=jnp.linalg.slogdet(params.Q)[1],
         logdet_R=jnp.linalg.slogdet(params.R)[1],
     )
+
+
+class DiagConstants(NamedTuple):
+    """Data statistics for the sufficient-statistics diagnostics path."""
+
+    sum_y0_sq: Array    # scalar  sum_{ij,t} y0^2       (diag(Y) = 0)
+    sum_y0_y0T: Array   # scalar  sum_{ij,t} y0_ij y0_ji
+    row_y0: Array       # (n, T)  sum_j y0_ij
+    col_y0: Array       # (n, T)  sum_i y0_ij
+
+
+def precompute_diag_constants(Y: Array) -> DiagConstants:
+    y0 = Y[..., 0]
+    return DiagConstants(
+        sum_y0_sq=jnp.sum(y0 * y0),
+        sum_y0_y0T=jnp.einsum("ijt,jit->", y0, y0,
+                              preferred_element_type=jnp.float32,
+                              precision=HIGHEST),
+        row_y0=y0.sum(1),
+        col_y0=y0.sum(0),
+    )
+
+
+def _residual_stats_from_moments(dc: DiagConstants, obs: ObsConstants,
+                                 X_mean: Array, r: int, R_inv: Array
+                                 ) -> Tuple[Array, Array]:
+    """Dyadic residual statistics WITHOUT any O(n^2 T) pass.
+
+    Expands ``sum e0^2`` and ``sum e0_ij e0_ji`` (``e0 = y0 - m``,
+    ``m_ij = a_i + b_j + U_i.V_j``) into data constants plus global moments
+    of the variational means.  The only O(n^2 T r) work is the two MXU
+    contractions ``W0 @ V`` and ``W1 @ V``, from which the data-mean cross
+    terms ``A = sum y0_ij u_ij`` and ``B = sum y0_ij u_ji`` are recovered by
+    solving the 2x2 system
+
+        s1 = sum_i U_i . (W0 V)_i = p A + q B
+        s3 = sum_i U_i . (W1 V)_i = q A + p B
+
+    (p = R^-1[0,0], q = R^-1[0,1]; p^2 != q^2 whenever R is PD with
+    |rho_dyadic| < 1).  Everything else is O(n T (r^2 + 1)) on the VPU —
+    the diagnostics pass costs ~two eta-class matmuls instead of reading
+    observation-sized tensors.
+
+    Returns ``(sum_offdiag e0^2, sum_offdiag e0_ij e0_ji)`` — the same
+    statistics as :func:`tame.ops.dyad.residual_stats_from_fwd` up to
+    summation order.
+    """
+    a, b, U, V = dyad_ops.split_state(X_mean, r)          # (n,T), (n,T,r)
+    p, q = R_inv[0, 0], R_inv[0, 1]
+
+    # -- data-mean cross terms via the stored dyad weights ------------------
+    W0V = _eta_contract(obs.W0, V)                        # (n, T, r)
+    W1V = _eta_contract(obs.W1, V)
+    s1 = jnp.sum(U * W0V)
+    s3 = jnp.sum(U * W1V)
+    denom = p * p - q * q
+    A = (p * s1 - q * s3) / denom
+    B = (p * s3 - q * s1) / denom
+
+    # -- per-time global moments (all O(n T r^2)) ---------------------------
+    alpha = a.sum(0)                                      # (T,)
+    beta = b.sum(0)
+    Sa2 = jnp.sum(a * a, 0)
+    Sb2 = jnp.sum(b * b, 0)
+    Sab = jnp.sum(a * b, 0)
+    sU = U.sum(0)                                         # (T, r)
+    sV = V.sum(0)
+    wU = jnp.einsum("it,itr->tr", a, U, precision=HIGHEST)
+    wV = jnp.einsum("it,itr->tr", a, V, precision=HIGHEST)
+    zU = jnp.einsum("it,itr->tr", b, U, precision=HIGHEST)
+    zV = jnp.einsum("it,itr->tr", b, V, precision=HIGHEST)
+    GUU = jnp.einsum("itk,itl->tkl", U, U,
+                     preferred_element_type=jnp.float32, precision=HIGHEST)
+    GVV = jnp.einsum("itk,itl->tkl", V, V,
+                     preferred_element_type=jnp.float32, precision=HIGHEST)
+    GVU = jnp.einsum("itk,itl->tkl", V, U,
+                     preferred_element_type=jnp.float32, precision=HIGHEST)
+
+    n = a.shape[0]
+    u_ii = jnp.sum(U * V, -1)                             # (n, T)
+    m_ii = a + b + u_ii
+    Smii2 = jnp.sum(m_ii * m_ii)
+
+    # sum_ij m_ij^2 (full) = sum (a_i+b_j)^2 + 2 sum (a_i+b_j) u_ij + sum u^2
+    sum_ab_sq = jnp.sum(n * (Sa2 + Sb2) + 2.0 * alpha * beta)
+    cross_m = jnp.sum(wU * sV) + jnp.sum(zV * sU)         # sum (a_i+b_j) u_ij
+    Su2 = jnp.einsum("tkl,tkl->", GUU, GVV, precision=HIGHEST)
+    sum_m_sq = sum_ab_sq + 2.0 * cross_m + Su2 - Smii2
+
+    # sum_ij m_ij m_ji (full)
+    sum_ab_cross = jnp.sum(alpha * alpha + beta * beta + 2.0 * n * Sab)
+    cross_mT = jnp.sum(wV * sU) + jnp.sum(zU * sV)        # sum (a_i+b_j) u_ji
+    SuuT = jnp.einsum("tkl,tlk->", GVU, GVU, precision=HIGHEST)
+    sum_m_mT = sum_ab_cross + 2.0 * cross_mT + SuuT - Smii2
+
+    # data x additive terms from the precomputed row/col sums
+    y_ab = jnp.sum(a * dc.row_y0) + jnp.sum(b * dc.col_y0)
+    y_abT = jnp.sum(a * dc.col_y0) + jnp.sum(b * dc.row_y0)
+
+    sq = dc.sum_y0_sq - 2.0 * (y_ab + A) + sum_m_sq
+    cross = dc.sum_y0_y0T - 2.0 * (y_abT + B) + sum_m_mT
+    return sq, cross
 
 
 # ---------------------------------------------------------------------------
@@ -185,10 +314,8 @@ def _obs_nat_param(obs: ObsConstants, X_mean: Array, r: int,
     """
     a, b, U, V = dyad_ops.split_state(X_mean, r)
     eta_a, eta_b = obs.eta_a, obs.eta_b
-    etaU = jnp.einsum("ijt,jtr->itr", obs.W0, V,
-                      preferred_element_type=jnp.float32, precision=HIGHEST)
-    etaV = jnp.einsum("ijt,jtr->itr", obs.W1, U,
-                      preferred_element_type=jnp.float32, precision=HIGHEST)
+    etaU = _eta_contract(obs.W0, V)
+    etaV = _eta_contract(obs.W1, U)
     if corrected:
         p, q = R_inv[0, 0], R_inv[0, 1]
         c = p * b + q * a                                   # (n, T)
@@ -312,6 +439,15 @@ def compute_elbo(Y: Array, params: AMEParams, pri: PriorMatrices,
     quad = p_ * (e0 * e0 + e1 * e1) + 2.0 * q_ * (e0 * e1)
     mask = dyad_ops.offdiag_mask(n)[:, :, None]
     quad_sum = 0.5 * jnp.sum(quad * mask)  # i<j sum = half the off-diag sum
+    return _elbo_from_quad(quad_sum, params, pri, state, structure)
+
+
+def _elbo_from_quad(quad_sum: Array, params: AMEParams, pri: PriorMatrices,
+                    state: CaviState, structure: str) -> Array:
+    """ELBO given the precomputed likelihood quadratic form
+    ``sum_{i<j,t} resid' R^-1 resid``; all remaining terms depend only on
+    the variational state."""
+    n, T, d = state.X_mean.shape
     n_dyads = n * (n - 1) // 2 * T
     log_lik = -0.5 * (quad_sum + n_dyads * (pri.logdet_R + 2.0 * _LOG2PI))
 
@@ -449,12 +585,8 @@ def cavi_step_block(state: CaviState, obs: ObsConstants,
 
         W0b = jax.lax.dynamic_index_in_dim(W0r, b, 0, keepdims=False)
         W1b = jax.lax.dynamic_index_in_dim(W1r, b, 0, keepdims=False)
-        etaU = jnp.einsum("ijt,jtr->itr", W0b, V,
-                          preferred_element_type=jnp.float32,
-                          precision=HIGHEST)
-        etaV = jnp.einsum("ijt,jtr->itr", W1b, U,
-                          preferred_element_type=jnp.float32,
-                          precision=HIGHEST)
+        etaU = _eta_contract(W0b, V)
+        etaV = _eta_contract(W1b, U)
         eta_a_b = jax.lax.dynamic_index_in_dim(eta_ar, b, 0, False)
         eta_b_b = jax.lax.dynamic_index_in_dim(eta_br, b, 0, False)
         if corrected:
@@ -615,7 +747,9 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
              structure: str = "full", update_mode: str = "jacobi",
              max_iter: int = 100, learning_rate=1.0, tolerance=1e-4,
              patience: int = 3, num_blocks=None,
-             corrected: bool = False, elbo_every: int = 1) -> FitResult:
+             corrected: bool = False, elbo_every: int = 1,
+             mixed_precision: bool = False,
+             diag_mode: str = "exact") -> FitResult:
     """Run damped CAVI to convergence inside a single compiled loop.
 
     Convergence rule mirrors the reference trainer (``base.py:170-203``):
@@ -639,10 +773,33 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     update itself; convergence is then judged on the evaluated points with
     an effective tolerance window of k iterations.  ``1`` (default) matches
     the reference's per-iteration semantics.
+
+    ``mixed_precision=True`` stores the constant (n, n, T) dyad-weight
+    tensors in bfloat16 and runs the eta contractions as single-pass bf16
+    matmuls with float32 accumulation (see :func:`_eta_contract`); all d x d
+    assembly, solves, priors and diagnostics stay float32.  The fixed point
+    shifts by O(bf16 rounding) of the data — validated to track the float32
+    optimum's MSE at the noise floor (tests).  Not supported with
+    ``update_mode='seq'`` (a parity mode).
+
+    ``diag_mode`` selects how the per-iteration ELBO/MSE are computed:
+    ``"exact"`` evaluates the dyadic residuals directly (one O(n^2 T)
+    elementwise pass over the forward means); ``"stats"`` expands them into
+    global sufficient statistics (:func:`_residual_stats_from_moments`) —
+    two eta-class MXU contractions and O(n T r^2) moments, no
+    observation-sized reads — making dense per-iteration diagnostics
+    nearly free at production scale.  The two agree to float32 reduction
+    error (relative ~1e-6 at n=2000; tests assert 1e-4).
     """
+    if diag_mode not in ("exact", "stats"):
+        raise ValueError(f"unknown diag_mode: {diag_mode!r}")
     if corrected and update_mode == "seq":
         raise ValueError(
             "corrected=True is not supported with update_mode='seq' "
+            "(seq exists for reference-trajectory parity)")
+    if mixed_precision and update_mode == "seq":
+        raise ValueError(
+            "mixed_precision=True is not supported with update_mode='seq' "
             "(seq exists for reference-trajectory parity)")
     buf = 64
     while buf < max_iter:
@@ -659,25 +816,32 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                           structure=structure, update_mode=update_mode,
                           buf_size=buf, patience=patience,
                           num_blocks=num_blocks, corrected=corrected,
-                          elbo_every=elbo_every)
+                          elbo_every=elbo_every,
+                          mixed_precision=mixed_precision,
+                          diag_mode=diag_mode)
 
 
 @functools.partial(jax.jit, static_argnames=("structure", "update_mode",
                                              "buf_size", "patience",
                                              "num_blocks", "corrected",
-                                             "elbo_every"))
+                                             "elbo_every",
+                                             "mixed_precision",
+                                             "diag_mode"))
 def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
                    max_iter: Array, learning_rate: Array, tolerance: Array,
                    *, structure: str, update_mode: str, buf_size: int,
                    patience: int, num_blocks, corrected: bool,
-                   elbo_every: int) -> FitResult:
+                   elbo_every: int, mixed_precision: bool,
+                   diag_mode: str) -> FitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
     lr = learning_rate
     tol = tolerance
 
-    obs = precompute_obs_constants(Y, params.R_inv)
+    obs = precompute_obs_constants(
+        Y, params.R_inv,
+        w_dtype=jnp.bfloat16 if mixed_precision else None)
     pri = precompute_priors(params)
     if update_mode == "jacobi":
         step_fn = functools.partial(cavi_step_jacobi, corrected=corrected)
@@ -693,10 +857,23 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
         running = jnp.logical_not(jnp.logical_or(conv, div))
         return jnp.logical_and(it < max_iter, running)
 
+    dc = precompute_diag_constants(Y) if diag_mode == "stats" else None
+
     def diagnostics(state):
-        mu = dyad_ops.dyadic_mean_temporal(state.X_mean, r)
-        elbo = compute_elbo(Y, params, pri, state, structure, mu_dyadic=mu)
-        mse = dyad_ops.masked_sq_error_temporal(Y, mu)
+        if diag_mode == "stats":
+            # Sufficient-statistics path: no O(n^2 T) reads.
+            sq, cross = _residual_stats_from_moments(
+                dc, obs, state.X_mean, r, params.R_inv)
+        else:
+            # Fwd-half residual statistics: same values as the
+            # stacked-mean path (reciprocity invariant) at half the
+            # HBM traffic.
+            fwd = dyad_ops.dyadic_fwd_temporal(state.X_mean, r)
+            sq, cross = dyad_ops.residual_stats_from_fwd(Y, fwd)
+        p_, q_ = params.R_inv[0, 0], params.R_inv[0, 1]
+        quad_sum = p_ * sq + q_ * cross
+        elbo = _elbo_from_quad(quad_sum, params, pri, state, structure)
+        mse = 2.0 * sq / (n * (n - 1) * T)
         return elbo, mse
 
     def body(carry):

@@ -48,7 +48,8 @@ class TemporalAMECaviVI:
                  learning_rate: float = 1.0, init_scale: float = 0.1,
                  cov_init_scale: float = 0.5, seed: int = 42,
                  update_mode: str = "block", num_blocks=None,
-                 corrected: bool = False):
+                 corrected: bool = False, mixed_precision: bool = False,
+                 diag_mode: str = "exact"):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -67,6 +68,8 @@ class TemporalAMECaviVI:
         self.update_mode = update_mode
         self.num_blocks = num_blocks
         self.corrected = corrected
+        self.mixed_precision = mixed_precision
+        self.diag_mode = diag_mode
         self.params: AMEParams = model.params
 
         self.history: Dict[str, List[float]] = {
@@ -86,6 +89,8 @@ class TemporalAMECaviVI:
             init_scale=config.init_scale,
             seed=config.seed,
             update_mode=config.update_mode,
+            mixed_precision=config.mixed_precision,
+            diag_mode=config.diag_mode,
         )
         if cls is TemporalAMECaviVI:
             kwargs["structure"] = config.structure
@@ -113,7 +118,8 @@ class TemporalAMECaviVI:
             cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
             structure=self.structure, update_mode=self.update_mode,
             max_iter=max_iter, learning_rate=self.lr, tolerance=tolerance,
-            num_blocks=self.num_blocks, corrected=self.corrected)
+            num_blocks=self.num_blocks, corrected=self.corrected,
+            mixed_precision=self.mixed_precision, diag_mode=self.diag_mode)
         result = jax.block_until_ready(result)
 
         self.X_mean = result.X_mean
@@ -222,11 +228,13 @@ class TemporalAMENaiveMFVI(TemporalAMECaviVI):
 
     def __init__(self, model, learning_rate: float = 1.0,
                  init_scale: float = 0.1, seed: int = 42,
-                 update_mode: str = "block", corrected: bool = False):
+                 update_mode: str = "block", corrected: bool = False,
+                 mixed_precision: bool = False, diag_mode: str = "exact"):
         super().__init__(model, structure="diag",
                          learning_rate=learning_rate, init_scale=init_scale,
                          seed=seed, update_mode=update_mode,
-                         corrected=corrected)
+                         corrected=corrected, mixed_precision=mixed_precision,
+                         diag_mode=diag_mode)
 
 
 class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
@@ -241,7 +249,8 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
     def __init__(self, model, factorization: str = "good",
                  learning_rate: float = 1.0, init_scale: float = 0.1,
                  cov_init_scale: float = 0.5, seed: int = 42,
-                 update_mode: str = "block", corrected: bool = False):
+                 update_mode: str = "block", corrected: bool = False,
+                 mixed_precision: bool = False, diag_mode: str = "exact"):
         if factorization not in ("good", "bad"):
             raise ValueError(f"Unknown factorization '{factorization}'")
         self.factorization = factorization
@@ -249,7 +258,9 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
         super().__init__(model, structure=structure,
                          learning_rate=learning_rate, init_scale=init_scale,
                          cov_init_scale=cov_init_scale, seed=seed,
-                         update_mode=update_mode, corrected=corrected)
+                         update_mode=update_mode, corrected=corrected,
+                         mixed_precision=mixed_precision,
+                         diag_mode=diag_mode)
 
     def get_factorization_type(self) -> str:
         return self.factorization

@@ -74,6 +74,43 @@ def dyadic_mean_temporal(X: Array, r: int) -> Array:
     return jnp.stack([fwd, jnp.swapaxes(fwd, 0, 1)], axis=-1)
 
 
+def dyadic_fwd_temporal(X: Array, r: int) -> Array:
+    """Forward half of the dyadic mean: ``fwd[i,j,t] = a_i + b_j + U_i.V_j``.
+
+    Under the reciprocity invariant ``Y[i,j,t,1] == Y[j,i,t,0]`` (guaranteed
+    by the generative model, reference ``temporal_ame.py:209-216``) every
+    dyadic residual statistic is a function of ``e0 = Y[...,0] - fwd`` alone,
+    since ``mu[...,1] = fwd^T`` and ``Y[...,1] = Y^T[...,0]`` — so the fit
+    loop's diagnostics never need the stacked ``(n, n, T, 2)`` tensor.
+    """
+    a, b, U, V = split_state(X, r)
+    additive = a[:, None, :] + b[None, :, :]                    # (n, n, T)
+    mult = jnp.einsum("itr,jtr->ijt", U, V, precision=HIGHEST,
+                      preferred_element_type=jnp.float32)       # (n, n, T)
+    return additive + mult
+
+
+def residual_stats_from_fwd(Y: Array, fwd: Array) -> tuple[Array, Array]:
+    """Sufficient statistics of the dyadic residuals from the forward half.
+
+    Returns ``(sq, cross)`` with
+
+        sq    = sum_{i != j, t} e0[i,j,t]^2
+        cross = sum_{i != j, t} e0[i,j,t] * e0[j,i,t]
+
+    where ``e0 = Y[..., 0] - fwd`` masked off-diagonal.  These determine both
+    the ELBO quadratic form (``p*sq + q*cross`` summed over unordered dyads)
+    and the reconstruction MSE (``2*sq / (n (n-1) T)``) — half the HBM
+    traffic of materializing the full stacked mean.
+    """
+    n = Y.shape[0]
+    e0 = (Y[..., 0] - fwd) * offdiag_mask(n)[:, :, None]
+    sq = jnp.sum(e0 * e0)
+    cross = jnp.einsum("ijt,jit->", e0, e0,
+                       preferred_element_type=jnp.float32, precision=HIGHEST)
+    return sq, cross
+
+
 def offdiag_mask(n: int, dtype=jnp.float32) -> Array:
     """(n, n) mask that zeroes the diagonal."""
     return 1.0 - jnp.eye(n, dtype=dtype)

@@ -430,3 +430,99 @@ class TestFromConfig:
         assert vi.update_mode == "jacobi"
         vi2 = TemporalAMECaviVI.from_config(temporal_data["model"], cfg)
         assert vi2.structure == "block"
+
+
+class TestFastDiagnostics:
+    """The fwd-half residual statistics must reproduce the stacked-mean
+    ELBO/MSE exactly (up to summation order) under the reciprocity
+    invariant."""
+
+    def test_fwd_stats_match_stacked(self):
+        from tame.ops import dyad as dyad_ops
+
+        model = TemporalAMEModel(n_nodes=9, n_time=5, latent_dim=2, seed=3)
+        Y, _ = model.generate_data(return_latents=True)
+        n, T, d = 9, 5, 6
+        state = cavi.init_state(jax.random.PRNGKey(1), n, T, d, "full",
+                                0.3, 0.5)
+        pri = cavi.precompute_priors(model.params)
+
+        mu = dyad_ops.dyadic_mean_temporal(state.X_mean, 2)
+        elbo_ref = float(cavi.compute_elbo(Y, model.params, pri, state,
+                                           "full", mu_dyadic=mu))
+        mse_ref = float(dyad_ops.masked_sq_error_temporal(Y, mu))
+
+        fwd = dyad_ops.dyadic_fwd_temporal(state.X_mean, 2)
+        sq, cross = dyad_ops.residual_stats_from_fwd(Y, fwd)
+        p_, q_ = model.params.R_inv[0, 0], model.params.R_inv[0, 1]
+        quad_sum = p_ * sq + q_ * cross
+        elbo_fast = float(cavi._elbo_from_quad(quad_sum, model.params, pri,
+                                               state, "full"))
+        mse_fast = float(2.0 * sq / (n * (n - 1) * T))
+
+        assert elbo_fast == pytest.approx(elbo_ref, rel=1e-5)
+        assert mse_fast == pytest.approx(mse_ref, rel=1e-5)
+
+
+class TestMixedPrecision:
+    def test_tracks_f32_fixed_point(self):
+        """bf16 dyad weights must converge to (numerically) the same
+        optimum: final MSE within 0.5 % relative of the float32 run."""
+        model = TemporalAMEModel(n_nodes=12, n_time=6, latent_dim=2,
+                                 ar_coefficient=0.8, rho_dyadic=0.5,
+                                 seed=11)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 12, 6, 6, "full",
+                               0.1, 0.5)
+        kw = dict(structure="full", update_mode="block", max_iter=100,
+                  learning_rate=0.7, tolerance=0.0)
+        out32 = cavi.fit_cavi(Y, model.params, init, **kw)
+        outmp = cavi.fit_cavi(Y, model.params, init, mixed_precision=True,
+                              **kw)
+        m32 = float(np.asarray(out32.mse_history)[99])
+        mmp = float(np.asarray(outmp.mse_history)[99])
+        assert mmp == pytest.approx(m32, rel=5e-3)
+        assert np.max(np.abs(np.asarray(outmp.X_mean - out32.X_mean))) < 0.05
+
+    def test_seq_mode_rejected(self):
+        model = TemporalAMEModel(n_nodes=6, n_time=3, latent_dim=1, seed=0)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 6, 3, 4, "full",
+                               0.1, 0.5)
+        with pytest.raises(ValueError, match="mixed_precision"):
+            cavi.fit_cavi(Y, model.params, init, structure="full",
+                          update_mode="seq", mixed_precision=True)
+
+
+class TestStatsDiagnostics:
+    @pytest.mark.parametrize("rho", [0.0, 0.5, 0.8])
+    def test_matches_exact_history(self, rho):
+        """diag_mode='stats' must reproduce the exact ELBO/MSE histories to
+        float32 reduction error while never reading O(n^2 T) tensors."""
+        model = TemporalAMEModel(n_nodes=14, n_time=6, latent_dim=2,
+                                 rho_dyadic=rho, seed=5)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(3), 14, 6, 6, "full",
+                               0.1, 0.5)
+        kw = dict(structure="full", update_mode="block", max_iter=30,
+                  learning_rate=0.7, tolerance=0.0)
+        exact = cavi.fit_cavi(Y, model.params, init, **kw)
+        stats = cavi.fit_cavi(Y, model.params, init, diag_mode="stats",
+                              **kw)
+        eh_e = np.asarray(exact.elbo_history)[:30]
+        eh_s = np.asarray(stats.elbo_history)[:30]
+        mh_e = np.asarray(exact.mse_history)[:30]
+        mh_s = np.asarray(stats.mse_history)[:30]
+        assert np.max(np.abs(eh_e - eh_s) / np.abs(eh_e)) < 1e-4
+        assert np.max(np.abs(mh_e - mh_s) / np.abs(mh_e)) < 1e-4
+        # trajectory identical (diagnostics never feed back into updates)
+        assert np.allclose(np.asarray(exact.X_mean),
+                           np.asarray(stats.X_mean))
+
+    def test_unknown_mode_rejected(self):
+        model = TemporalAMEModel(n_nodes=6, n_time=3, latent_dim=1, seed=0)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(0), 6, 3, 4, "full",
+                               0.1, 0.5)
+        with pytest.raises(ValueError, match="diag_mode"):
+            cavi.fit_cavi(Y, model.params, init, diag_mode="bogus")
