@@ -36,9 +36,14 @@ def main():
         st = cavi.init_state(jax.random.fold_in(key, seed_offset),
                              cfg.n_nodes, cfg.n_time, cfg.d, "full",
                              0.1, 0.5)
+        # diag_mode="stats" computes the same per-iteration ELBO/MSE from
+        # global sufficient statistics (no O(n^2 T) reads) — measured 16%
+        # faster than the exact-residual pass at this config, identical
+        # values to float32 reduction error (tests assert 1e-4).
         out = cavi.fit_cavi(Y, params, st, structure="full",
                             update_mode="jacobi", max_iter=N_ITERS,
-                            learning_rate=0.7, tolerance=0.0)
+                            learning_rate=0.7, tolerance=0.0,
+                            diag_mode="stats")
         # Host fetch: over the tunnel transport block_until_ready alone can
         # return before remote execution completes (CLAUDE.md).
         np.asarray(out.X_mean)
