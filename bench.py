@@ -4,9 +4,23 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Baseline: the reference implementation measured at 4.81 ELBO-iterations/s
 for Good SMF (lr=0.7, 150 iters, n=15/T=10/r=2 demo config) on CPU
-(BASELINE.md, measured 2026-08-17).  The fit here is a single compiled
-``lax.while_loop``; timing excludes compilation (one warm-up call) and uses
-``tolerance=0`` so all iterations run.
+(BASELINE.md, measured 2026-08-17).
+
+Protocol
+--------
+Each unit of work is one complete 150-iteration Good-SMF fit (the
+reference's experiment setting: lr=0.7, ``tolerance=0`` so every iteration
+runs).  ``N_FITS`` independent fits (distinct random inits) run
+*sequentially* inside ONE compiled program via ``lax.scan`` — no batching,
+each fit is the same serial dependency chain the reference times — and the
+per-iteration rate is ``N_FITS * 150 / wall``.  Running many fits per
+dispatch amortizes the fixed per-dispatch cost of the device transport
+(~25-35 ms of tunnel RPC, see CLAUDE.md), which at one-fit granularity
+would otherwise dominate: the measured device cost is ~33 us/iteration
+while a single dispatch floor is ~25 ms.  Timing excludes compilation (one
+warm-up call), varies the inits per repeat to defeat transport result
+caching, and ends with a host fetch (``block_until_ready`` alone is not a
+reliable barrier over the tunnel).
 """
 
 import json
@@ -21,6 +35,7 @@ from tame.models import build_params, sample
 
 BASELINE_ITERS_PER_S = 4.81  # reference Good SMF, BASELINE.md
 N_ITERS = 150
+N_FITS = 64
 REPEATS = 3
 
 
@@ -30,25 +45,35 @@ def main():
     params = build_params(cfg)
     key = jax.random.PRNGKey(cfg.seed)
     Y, _ = sample(params, key, cfg.n_nodes, cfg.n_time)
+
+    @jax.jit
+    def run_fits(keys):
+        """N_FITS complete fits, strictly sequential (lax.scan carry)."""
+        def one_fit(_, k):
+            # diag_mode="stats" computes the same per-iteration ELBO/MSE
+            # from global sufficient statistics (no O(n^2 T) reads) —
+            # identical values to the exact pass within float32 reduction
+            # error (tests assert 1e-4).
+            st = cavi.init_state(k, cfg.n_nodes, cfg.n_time, cfg.d,
+                                 "full", 0.1, 0.5)
+            out = cavi.fit_cavi(Y, params, st, structure="full",
+                                update_mode="jacobi", max_iter=N_ITERS,
+                                learning_rate=0.7, tolerance=0.0,
+                                diag_mode="stats")
+            return 0, (out.X_mean, out.n_iter)
+        _, (means, iters) = jax.lax.scan(one_fit, 0,
+                                         jax.random.split(keys, N_FITS))
+        return means, iters
+
     def run(seed_offset):
-        # Distinct init per repeat defeats any result-level caching in the
-        # device transport; the work measured is always a fresh fit.
-        st = cavi.init_state(jax.random.fold_in(key, seed_offset),
-                             cfg.n_nodes, cfg.n_time, cfg.d, "full",
-                             0.1, 0.5)
-        # diag_mode="stats" computes the same per-iteration ELBO/MSE from
-        # global sufficient statistics (no O(n^2 T) reads) — measured 16%
-        # faster than the exact-residual pass at this config, identical
-        # values to float32 reduction error (tests assert 1e-4).
-        out = cavi.fit_cavi(Y, params, st, structure="full",
-                            update_mode="jacobi", max_iter=N_ITERS,
-                            learning_rate=0.7, tolerance=0.0,
-                            diag_mode="stats")
+        # Distinct inits per repeat defeat any result-level caching in the
+        # device transport; the work measured is always fresh fits.
+        means, iters = run_fits(jax.random.fold_in(key, seed_offset))
         # Host fetch: over the tunnel transport block_until_ready alone can
         # return before remote execution completes (CLAUDE.md).
-        np.asarray(out.X_mean)
-        assert int(out.n_iter) == N_ITERS
-        return out
+        np.asarray(means)
+        assert int(np.asarray(iters).min()) == N_ITERS
+        return means
 
     run(0)  # warm-up: compile
     best = float("inf")
@@ -57,7 +82,7 @@ def main():
         run(rep + 1)
         best = min(best, time.perf_counter() - t0)
 
-    iters_per_s = N_ITERS / best
+    iters_per_s = N_FITS * N_ITERS / best
     print(json.dumps({
         "metric": "good_smf_elbo_iterations_per_s",
         "value": round(iters_per_s, 2),
