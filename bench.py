@@ -35,7 +35,7 @@ from tame.models import build_params, sample
 
 BASELINE_ITERS_PER_S = 4.81  # reference Good SMF, BASELINE.md
 N_ITERS = 150
-N_FITS = 64
+N_FITS = 128
 REPEATS = 3
 
 
@@ -50,16 +50,16 @@ def main():
     def run_fits(keys):
         """N_FITS complete fits, strictly sequential (lax.scan carry)."""
         def one_fit(_, k):
-            # diag_mode="stats" computes the same per-iteration ELBO/MSE
-            # from global sufficient statistics (no O(n^2 T) reads) —
-            # identical values to the exact pass within float32 reduction
-            # error (tests assert 1e-4).
+            # diag_mode="exact" is the faster diagnostics path at this
+            # tiny config (the observation tensor is 2250 elements; the
+            # sufficient-statistics expansion only wins at scale —
+            # measured 24.3 us/it step-only, +4.3 exact, +15 stats).
             st = cavi.init_state(k, cfg.n_nodes, cfg.n_time, cfg.d,
                                  "full", 0.1, 0.5)
             out = cavi.fit_cavi(Y, params, st, structure="full",
                                 update_mode="jacobi", max_iter=N_ITERS,
                                 learning_rate=0.7, tolerance=0.0,
-                                diag_mode="stats")
+                                diag_mode="exact")
             return 0, (out.X_mean, out.n_iter)
         _, (means, iters) = jax.lax.scan(one_fit, 0,
                                          jax.random.split(keys, N_FITS))
