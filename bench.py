@@ -16,11 +16,17 @@ each fit is the same serial dependency chain the reference times — and the
 per-iteration rate is ``N_FITS * 150 / wall``.  Running many fits per
 dispatch amortizes the fixed per-dispatch cost of the device transport
 (~25-35 ms of tunnel RPC, see CLAUDE.md), which at one-fit granularity
-would otherwise dominate: the measured device cost is ~33 us/iteration
-while a single dispatch floor is ~25 ms.  Timing excludes compilation (one
-warm-up call), varies the inits per repeat to defeat transport result
-caching, and ends with a host fetch (``block_until_ready`` alone is not a
-reliable barrier over the tunnel).
+would otherwise dominate.  Timing excludes compilation (one warm-up call),
+varies the inits per repeat to defeat transport result caching, and ends
+with a host fetch (``block_until_ready`` alone is not a reliable barrier
+over the tunnel).
+
+On TPU ``fit_cavi`` auto-selects the whole-fit Pallas megakernel
+(``tame/ops/fused_fit.py``): the complete loop — update, exact
+per-iteration diagnostics, convergence bookkeeping — runs inside one
+kernel with the state resident in VMEM, ~3.2 us/iteration vs ~29 us for
+the dispatch-bound XLA loop (slope-measured between 128- and
+2048-iteration fits).
 """
 
 import json
@@ -35,7 +41,7 @@ from tame.models import build_params, sample
 
 BASELINE_ITERS_PER_S = 4.81  # reference Good SMF, BASELINE.md
 N_ITERS = 150
-N_FITS = 128
+N_FITS = 512
 REPEATS = 3
 
 

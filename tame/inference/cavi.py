@@ -45,6 +45,7 @@ the reference's fixed point and is reproduced for parity.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -53,6 +54,7 @@ from jax import Array
 
 from tame.models.params import AMEParams
 from tame.ops import dyad as dyad_ops
+from tame.ops import fused_fit
 from tame.ops.cholesky import (
     batched_logdet_spd,
     batched_spd_solve,
@@ -749,7 +751,8 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
              patience: int = 3, num_blocks=None,
              corrected: bool = False, elbo_every: int = 1,
              mixed_precision: bool = False,
-             diag_mode: str = "exact") -> FitResult:
+             diag_mode: str = "exact", fused: bool | str = "auto"
+             ) -> FitResult:
     """Run damped CAVI to convergence inside a single compiled loop.
 
     Convergence rule mirrors the reference trainer (``base.py:170-203``):
@@ -782,6 +785,19 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     optimum's MSE at the noise floor (tests).  Not supported with
     ``update_mode='seq'`` (a parity mode).
 
+    ``fused`` selects the whole-fit Pallas megakernel
+    (:mod:`tame.ops.fused_fit`): the entire loop — update, exact
+    diagnostics, convergence bookkeeping — runs inside ONE kernel with the
+    state resident in VMEM, eliminating per-iteration dispatch (the
+    dominant cost at demo-scale configs).  ``"auto"`` (default) uses it on
+    TPU whenever the configuration is supported (Good-SMF Jacobi, exact
+    per-iteration diagnostics, VMEM-sized problem); ``True`` forces it
+    (interpreted on CPU — slow, for testing); ``False`` disables.  Results
+    match the unfused path to float32 reduction error; the only scheduling
+    difference is that the kernel always runs ``max_iter`` internal
+    iterations, freezing state/histories after convergence instead of
+    exiting early.  ``TAME_DISABLE_FUSED_FIT=1`` disables globally.
+
     ``diag_mode`` selects how the per-iteration ELBO/MSE are computed:
     ``"exact"`` evaluates the dyadic residuals directly (one O(n^2 T)
     elementwise pass over the forward means); ``"stats"`` expands them into
@@ -804,6 +820,38 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     buf = 64
     while buf < max_iter:
         buf *= 2
+    n_, _, T_, _ = Y.shape
+    d_ = init.X_mean.shape[-1]
+    if fused not in (False, None):
+        supported = fused_fit.fused_fit_supported(
+            n_, T_, d_, structure=structure, update_mode=update_mode,
+            diag_mode=diag_mode, mixed_precision=mixed_precision,
+            elbo_every=elbo_every)
+        disabled = bool(os.environ.get("TAME_DISABLE_FUSED_FIT"))
+        on_cpu = jax.default_backend() == "cpu"
+        if fused is True:
+            if not supported:
+                raise ValueError(
+                    "fused=True requires structure='full', "
+                    "update_mode='jacobi', diag_mode='exact', "
+                    "mixed_precision=False, elbo_every=1 and a "
+                    "VMEM-sized problem")
+            use_fused = not disabled
+        else:  # "auto"
+            use_fused = supported and not disabled and not on_cpu
+        if use_fused:
+            out = fused_fit.fused_fit(
+                Y, params.R_inv, params.Sigma0, params.Q, params.Phi,
+                init.X_mean, init.X_cov,
+                jnp.asarray(max_iter), jnp.asarray(learning_rate, Y.dtype),
+                jnp.asarray(tolerance, Y.dtype),
+                r=(d_ - 2) // 2, buf_size=buf, patience=patience,
+                corrected=corrected, interpret=on_cpu)
+            return FitResult(X_mean=out.X_mean, X_cov=out.X_cov,
+                             elbo_history=out.elbo_history,
+                             mse_history=out.mse_history,
+                             n_iter=out.n_iter, converged=out.converged,
+                             diverged=out.diverged)
     if update_mode == "block" and num_blocks is None:
         # Largest divisor of n that is <= 16: near-GS stability with
         # maximal per-phase parallelism.

@@ -526,3 +526,67 @@ class TestStatsDiagnostics:
                                0.1, 0.5)
         with pytest.raises(ValueError, match="diag_mode"):
             cavi.fit_cavi(Y, model.params, init, diag_mode="bogus")
+
+
+class TestFusedFit:
+    """Whole-fit Pallas megakernel (tame/ops/fused_fit.py) vs the XLA path.
+
+    On CPU the kernel runs in Pallas interpret mode (fused=True forces it);
+    auto-selection stays off the CPU backend, so these tests exercise the
+    exact code path the TPU runs while the rest of the suite is unaffected.
+    """
+
+    def _setup(self, n=12, T=5, r=2, seed=7, rho=0.5):
+        model = TemporalAMEModel(n_nodes=n, n_time=T, latent_dim=r,
+                                 rho_dyadic=rho, seed=seed)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(seed), n, T, 2 + 2 * r,
+                               "full", 0.1, 0.5)
+        return model, Y, init
+
+    @pytest.mark.parametrize("corrected", [False, True])
+    def test_matches_unfused(self, corrected):
+        model, Y, init = self._setup()
+        kw = dict(structure="full", update_mode="jacobi", max_iter=25,
+                  learning_rate=0.7, tolerance=1e-5, corrected=corrected)
+        ref = cavi.fit_cavi(Y, model.params, init, fused=False, **kw)
+        fz = cavi.fit_cavi(Y, model.params, init, fused=True, **kw)
+        eh_r = np.asarray(ref.elbo_history)[:25]
+        eh_f = np.asarray(fz.elbo_history)[:25]
+        assert np.nanmax(np.abs(eh_r - eh_f) / np.abs(eh_r)) < 1e-4
+        assert np.allclose(np.asarray(ref.X_mean), np.asarray(fz.X_mean),
+                           atol=1e-4)
+        assert np.allclose(np.asarray(ref.X_cov), np.asarray(fz.X_cov),
+                           atol=1e-4)
+        assert int(ref.n_iter) == int(fz.n_iter)
+
+    def test_convergence_freeze(self):
+        """After the tolerance/patience rule fires, state and histories
+        freeze: flags, n_iter and NaN padding match the early-exit path."""
+        model, Y, init = self._setup(n=8, T=4)
+        kw = dict(structure="full", update_mode="jacobi", max_iter=60,
+                  learning_rate=0.7, tolerance=1e-3)
+        ref = cavi.fit_cavi(Y, model.params, init, fused=False, **kw)
+        fz = cavi.fit_cavi(Y, model.params, init, fused=True, **kw)
+        assert bool(ref.converged) and bool(fz.converged)
+        assert int(ref.n_iter) == int(fz.n_iter)
+        it = int(ref.n_iter)
+        assert np.all(np.isnan(np.asarray(fz.elbo_history)[it:]))
+        assert np.allclose(np.asarray(ref.X_mean), np.asarray(fz.X_mean),
+                           atol=1e-4)
+
+    def test_unsupported_config_rejected(self):
+        model, Y, init = self._setup(n=8, T=4)
+        with pytest.raises(ValueError, match="fused=True requires"):
+            cavi.fit_cavi(Y, model.params, init, structure="diag",
+                          fused=True)
+        with pytest.raises(ValueError, match="fused=True requires"):
+            cavi.fit_cavi(Y, model.params, init, update_mode="block",
+                          fused=True)
+
+    def test_auto_off_on_cpu(self):
+        """fused='auto' must not pick the interpreted kernel on CPU."""
+        model, Y, init = self._setup(n=6, T=3)
+        out = cavi.fit_cavi(Y, model.params, init, max_iter=3,
+                            learning_rate=0.7, tolerance=0.0)
+        assert int(out.n_iter) == 3  # unfused path ran (fast on CPU)
