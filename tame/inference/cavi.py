@@ -790,8 +790,9 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     diagnostics, convergence bookkeeping — runs inside ONE kernel with the
     state resident in VMEM, eliminating per-iteration dispatch (the
     dominant cost at demo-scale configs).  ``"auto"`` (default) uses it on
-    TPU whenever the configuration is supported (Good-SMF Jacobi, exact
-    per-iteration diagnostics, VMEM-sized problem); ``True`` forces it
+    TPU whenever the configuration is supported (any covariance structure,
+    Jacobi updates, exact per-iteration diagnostics, VMEM-sized problem);
+    ``True`` forces it
     (interpreted on CPU — slow, for testing); ``False`` disables.  Results
     match the unfused path to float32 reduction error; the only scheduling
     difference is that the kernel always runs ``max_iter`` internal
@@ -832,10 +833,9 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
         if fused is True:
             if not supported:
                 raise ValueError(
-                    "fused=True requires structure='full', "
-                    "update_mode='jacobi', diag_mode='exact', "
-                    "mixed_precision=False, elbo_every=1 and a "
-                    "VMEM-sized problem")
+                    "fused=True requires update_mode='jacobi', "
+                    "diag_mode='exact', mixed_precision=False, "
+                    "elbo_every=1 and a VMEM-sized problem")
             use_fused = not disabled
         else:  # "auto"
             use_fused = supported and not disabled and not on_cpu
@@ -846,7 +846,7 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                 jnp.asarray(max_iter), jnp.asarray(learning_rate, Y.dtype),
                 jnp.asarray(tolerance, Y.dtype),
                 r=(d_ - 2) // 2, buf_size=buf, patience=patience,
-                corrected=corrected, interpret=on_cpu)
+                corrected=corrected, structure=structure, interpret=on_cpu)
             return FitResult(X_mean=out.X_mean, X_cov=out.X_cov,
                              elbo_history=out.elbo_history,
                              mse_history=out.mse_history,

@@ -11,8 +11,13 @@ with an internal ``fori_loop``, eliminating every per-iteration dispatch.
 
 Scope (checked by :func:`fused_fit_supported`):
 
-* ``structure="full"`` (Good SMF), ``update_mode="jacobi"``,
-  ``diag_mode="exact"``, ``elbo_every=1``, float32;
+* all three covariance-structure policies — ``"full"`` (Good SMF),
+  ``"diag"`` (Naive MF: full-precision mean solve, ``1/diag(P)``
+  variances, reference ``naive_mf.py:266-274``), ``"block"`` (Bad SMF:
+  invert, zero the additive x multiplicative cross blocks post-inversion,
+  reference ``structured_mf.py:267-279``);
+* ``update_mode="jacobi"``, ``diag_mode="exact"``, ``elbo_every=1``,
+  float32;
 * ``corrected`` False (reference-parity natural parameter, SURVEY.md
   §2C-4) or True (exact update) — both supported;
 * problem small enough that all per-fit tensors fit in VMEM.
@@ -72,7 +77,8 @@ def fused_fit_supported(n: int, T: int, d: int, *, structure: str,
                         update_mode: str, diag_mode: str,
                         mixed_precision: bool, elbo_every: int) -> bool:
     """Whether the megakernel covers this fit configuration and size."""
-    if (structure != "full" or update_mode != "jacobi"
+    if (structure not in ("full", "diag", "block")
+            or update_mode != "jacobi"
             or diag_mode != "exact" or mixed_precision or elbo_every != 1):
         return False
     if d > 12:  # unrolled Cholesky code size ~ O(d^3)
@@ -149,7 +155,7 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
                       Xm0_ref, Xc0_ref,
                       Xm_ref, Xc_ref, eh_ref, mh_ref, stats_ref,
                       *, n: int, T: int, r: int, patience: int,
-                      corrected: bool):
+                      corrected: bool, structure: str):
     d = 2 + 2 * r
     f32 = jnp.float32
 
@@ -281,20 +287,34 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
                 acc_n = acc_n + QP(j, i) * mu_next[j]
             eta[i] = eta[i] + mprev * acc_p + mnext * acc_n
 
-        # ---- solve + full-structure policy (cavi._solve_full) ------------
-        solve, _ = _plane_chol_solve(P, None, d)
-        cov_raw = [[None] * d for _ in range(d)]
-        for j in range(d):
-            rhs = [jnp.full((n, T), 1.0 if i == j else 0.0, f32)
-                   for i in range(d)]
-            col = solve(rhs)
-            for i in range(d):
-                cov_raw[i][j] = col[i]
-        covf = [[0.5 * (cov_raw[i][j] + cov_raw[j][i])
-                 + (1e-6 if i == j else 0.0)
-                 for j in range(d)] for i in range(d)]
-        mu_new = [sum(covf[i][j] * eta[j] for j in range(d))
-                  for i in range(d)]
+        # ---- solve + structure policy (cavi._SOLVERS) ---------------------
+        if structure == "diag":
+            # Naive MF: full-precision mean solve, diagonal variances
+            # 1/(diag(P)+1e-8) (cavi._solve_diag, naive_mf.py:266-274).
+            _, mu_new = _plane_chol_solve(P, eta, d)
+            covf = [[1.0 / (P[i][i] + 1e-8) if i == j else zero_plane
+                     for j in range(d)] for i in range(d)]
+        else:
+            solve, _ = _plane_chol_solve(P, None, d)
+            cov_raw = [[None] * d for _ in range(d)]
+            for j in range(d):
+                rhs = [jnp.full((n, T), 1.0 if i == j else 0.0, f32)
+                       for i in range(d)]
+                col = solve(rhs)
+                for i in range(d):
+                    cov_raw[i][j] = col[i]
+            if structure == "block":
+                # Bad SMF: zero the additive x multiplicative cross blocks
+                # POST-inversion (cavi._solve_block,
+                # structured_mf.py:267-279).
+                cov_raw = [[zero_plane
+                            if (i < 2) != (j < 2) else cov_raw[i][j]
+                            for j in range(d)] for i in range(d)]
+            covf = [[0.5 * (cov_raw[i][j] + cov_raw[j][i])
+                     + (1e-6 if i == j else 0.0)
+                     for j in range(d)] for i in range(d)]
+            mu_new = [sum(covf[i][j] * eta[j] for j in range(d))
+                      for i in range(d)]
 
         # ---- damped write-back (masked to freeze after stop) --------------
         for c in range(d):
@@ -319,11 +339,12 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
         cross = jnp.sum(e0 * e0T)
         quad_sum = p * sq + q * cross
         log_lik = -0.5 * (quad_sum + n_dyads * (ldR + 2.0 * _LOG2PI))
-        # structured trace correction (structured_mf.py:141-148):
-        # 0.1 * tr(R^-1)/d * (n-1) * sum tr(cov); tr(R^-1) = 2p.
-        tr_cov = sum(Xc_ref[c, c] for c in range(d))          # (n, T)
-        log_lik = log_lik - 0.5 * (0.1 * (2.0 * p) / d * (n - 1)
-                                   * jnp.sum(tr_cov))
+        if structure in ("full", "block"):
+            # structured trace correction (structured_mf.py:141-148):
+            # 0.1 * tr(R^-1)/d * (n-1) * sum tr(cov); tr(R^-1) = 2p.
+            tr_cov = sum(Xc_ref[c, c] for c in range(d))      # (n, T)
+            log_lik = log_lik - 0.5 * (0.1 * (2.0 * p) / d * (n - 1)
+                                       * jnp.sum(tr_cov))
         # initial prior
         quad0 = zero_plane
         trace0 = zero_plane
@@ -351,8 +372,11 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
         priort = -0.5 * (jnp.sum(quadt + tracet)
                          + n * (T - 1) * (ldQ + d * _LOG2PI))
         # entropy
-        C = [[Xc_ref[i, j] for j in range(d)] for i in range(d)]
-        logdets = _plane_logdet(C, d)
+        if structure == "diag":
+            logdets = sum(jnp.log(Xc_ref[c, c]) for c in range(d))
+        else:
+            C = [[Xc_ref[i, j] for j in range(d)] for i in range(d)]
+            logdets = _plane_logdet(C, d)
         entropy = 0.5 * (jnp.sum(logdets) + n * T * d * (1.0 + _LOG2PI))
 
         elbo = log_lik + prior0 + priort + entropy
@@ -392,16 +416,18 @@ class FusedFitOut(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "r", "buf_size", "patience", "corrected", "interpret"))
+    "r", "buf_size", "patience", "corrected", "structure", "interpret"))
 def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
               X_mean0: Array, X_cov0: Array, max_iter: Array,
               learning_rate: Array, tolerance: Array, *, r: int,
               buf_size: int, patience: int = 3, corrected: bool = False,
+              structure: str = "full",
               interpret: bool = False) -> FusedFitOut:
-    """Run the whole Good-SMF Jacobi CAVI fit in one Pallas kernel.
+    """Run the whole Jacobi CAVI fit in one Pallas kernel.
 
-    Same contract as ``fit_cavi(structure="full", update_mode="jacobi",
-    diag_mode="exact")``; see the module docstring for scope.
+    Same contract as ``fit_cavi(update_mode="jacobi", diag_mode="exact")``
+    for any covariance-structure policy; see the module docstring for
+    scope.
     """
     n, _, T, _ = Y.shape
     d = 2 + 2 * r
@@ -432,7 +458,8 @@ def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
     Xc0 = jnp.swapaxes(Xc0, 0, 1)                            # (d, d, n, T)
 
     kernel = functools.partial(_fused_fit_kernel, n=n, T=T, r=r,
-                               patience=patience, corrected=corrected)
+                               patience=patience, corrected=corrected,
+                               structure=structure)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     Xm, Xc, eh, mh, stats = pl.pallas_call(

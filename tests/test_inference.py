@@ -536,18 +536,19 @@ class TestFusedFit:
     exact code path the TPU runs while the rest of the suite is unaffected.
     """
 
-    def _setup(self, n=12, T=5, r=2, seed=7, rho=0.5):
+    def _setup(self, n=12, T=5, r=2, seed=7, rho=0.5, structure="full"):
         model = TemporalAMEModel(n_nodes=n, n_time=T, latent_dim=r,
                                  rho_dyadic=rho, seed=seed)
         Y, _ = model.generate_data(return_latents=True)
         init = cavi.init_state(jax.random.PRNGKey(seed), n, T, 2 + 2 * r,
-                               "full", 0.1, 0.5)
+                               structure, 0.1, 0.5)
         return model, Y, init
 
-    @pytest.mark.parametrize("corrected", [False, True])
-    def test_matches_unfused(self, corrected):
-        model, Y, init = self._setup()
-        kw = dict(structure="full", update_mode="jacobi", max_iter=25,
+    @pytest.mark.parametrize("structure,corrected", [
+        ("full", False), ("full", True), ("diag", False), ("block", False)])
+    def test_matches_unfused(self, structure, corrected):
+        model, Y, init = self._setup(structure=structure)
+        kw = dict(structure=structure, update_mode="jacobi", max_iter=25,
                   learning_rate=0.7, tolerance=1e-5, corrected=corrected)
         ref = cavi.fit_cavi(Y, model.params, init, fused=False, **kw)
         fz = cavi.fit_cavi(Y, model.params, init, fused=True, **kw)
@@ -578,7 +579,7 @@ class TestFusedFit:
     def test_unsupported_config_rejected(self):
         model, Y, init = self._setup(n=8, T=4)
         with pytest.raises(ValueError, match="fused=True requires"):
-            cavi.fit_cavi(Y, model.params, init, structure="diag",
+            cavi.fit_cavi(Y, model.params, init, diag_mode="stats",
                           fused=True)
         with pytest.raises(ValueError, match="fused=True requires"):
             cavi.fit_cavi(Y, model.params, init, update_mode="block",
