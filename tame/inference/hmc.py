@@ -217,9 +217,14 @@ class TemporalAMEHMC:
         self._logdensity = make_logdensity_fn(model.params, self.Y)
 
     def sample(self, num_warmup: int = 200, num_samples: int = 200,
-               thin: int = 1) -> HMCSamples:
+               thin: int = 1, mesh=None) -> HMCSamples:
         """Run ``num_chains`` chains; returns stacked samples with leading
-        axes (chains, num_samples)."""
+        axes (chains, num_samples).
+
+        With ``mesh`` (a ``tame.parallel`` mesh), chain inits and keys are
+        placed on the ``batch`` axis and GSPMD runs each device's chains
+        locally — data parallelism over independent chains, no collectives
+        (``num_chains`` must be divisible by the batch-axis size)."""
         key = jax.random.PRNGKey(self.seed)
         k_init, k_chains = jax.random.split(key)
 
@@ -233,9 +238,21 @@ class TemporalAMEHMC:
         inits = center[None] + 0.01 * jax.random.normal(
             k_init, (self.num_chains,) + center.shape)
         keys = jax.random.split(k_chains, self.num_chains)
+        inits, keys = _shard_chains(mesh, inits, keys)
 
         run = functools.partial(
             run_hmc, self._logdensity,
             num_warmup=num_warmup, num_samples=num_samples,
             num_leapfrog=self.num_leapfrog, inv_mass=inv_mass, thin=thin)
         return jax.vmap(lambda pos, k: run(pos, k))(inits, keys)
+
+
+def _shard_chains(mesh, inits, keys):
+    """Place (chains, ...) stacks on a mesh's ``batch`` axis (no-op when
+    ``mesh`` is None)."""
+    if mesh is None:
+        return inits, keys
+    from tame.parallel import chain_sharding
+
+    return (jax.device_put(inits, chain_sharding(mesh, inits.ndim)),
+            jax.device_put(keys, chain_sharding(mesh, keys.ndim)))

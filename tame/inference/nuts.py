@@ -316,8 +316,12 @@ class TemporalAMENUTS:
 
         self._logdensity = make_logdensity_fn(model.params, self.Y)
 
-    def sample(self, num_warmup: int = 200, num_samples: int = 200
-               ) -> HMCSamples:
+    def sample(self, num_warmup: int = 200, num_samples: int = 200,
+               mesh=None) -> HMCSamples:
+        """Run ``num_chains`` chains; ``mesh`` shards them over the
+        ``batch`` axis (see :meth:`TemporalAMEHMC.sample`)."""
+        from tame.inference.hmc import _shard_chains
+
         key = jax.random.PRNGKey(self.seed)
         k_init, k_chains = jax.random.split(key)
         if self.precondition:
@@ -329,6 +333,7 @@ class TemporalAMENUTS:
         inits = center[None] + 0.01 * jax.random.normal(
             k_init, (self.num_chains,) + center.shape)
         keys = jax.random.split(k_chains, self.num_chains)
+        inits, keys = _shard_chains(mesh, inits, keys)
         run = functools.partial(
             run_nuts, self._logdensity, num_warmup=num_warmup,
             num_samples=num_samples, max_depth=self.max_depth,

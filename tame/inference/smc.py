@@ -162,7 +162,16 @@ class TemporalAMESMC:
         self.seed = seed
         self.precondition = precondition
 
-    def sample(self) -> SMCResult:
+    def sample(self, mesh=None) -> SMCResult:
+        """Run the tempered-SMC sweep.
+
+        With ``mesh``, the particle population is sharded over the
+        ``batch`` axis: tempering/reweighting/moves are particle-local on
+        each device, the ESS and evidence reductions become ``psum``-style
+        collectives, and the systematic-resampling gather
+        (``particles[idx]``) is lowered by GSPMD to an all-gather +
+        local index-select — the collective pattern the north star asks
+        for (resampling via all-gather)."""
         proposal_scale = None
         if self.precondition:
             from tame.inference.hmc import precondition_from_cavi
@@ -170,8 +179,27 @@ class TemporalAMESMC:
             _, variances = precondition_from_cavi(
                 self.Y, self.model.params, seed=self.seed)
             proposal_scale = jnp.sqrt(variances)
-        return run_smc(self.model.params, self.Y,
-                       jax.random.PRNGKey(self.seed),
+        key = jax.random.PRNGKey(self.seed)
+        if mesh is not None:
+            from tame.parallel import chain_sharding, replicated
+
+            Y = jax.device_put(self.Y, replicated(mesh))
+            out_shardings = SMCResult(
+                particles=chain_sharding(mesh, 4),
+                log_weights=chain_sharding(mesh, 1),
+                ess_history=replicated(mesh),
+                accept_history=replicated(mesh),
+                log_evidence=replicated(mesh),
+            )
+            run = jax.jit(
+                functools.partial(run_smc,
+                                  num_particles=self.num_particles,
+                                  num_stages=self.num_stages,
+                                  num_moves=self.num_moves),
+                out_shardings=out_shardings)
+            return run(self.model.params, Y, key,
+                       proposal_scale=proposal_scale)
+        return run_smc(self.model.params, self.Y, key,
                        num_particles=self.num_particles,
                        num_stages=self.num_stages,
                        num_moves=self.num_moves,

@@ -7,6 +7,7 @@ from tame.parallel.distributed import (
 )
 from tame.parallel.mesh import (
     auto_mesh,
+    chain_sharding,
     cov_sharding,
     make_mesh,
     obs_sharding,
@@ -17,6 +18,7 @@ from tame.parallel.mesh import (
 
 __all__ = [
     "auto_mesh",
+    "chain_sharding",
     "global_mesh",
     "initialize_distributed",
     "measure_scaling_efficiency",

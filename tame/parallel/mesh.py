@@ -74,6 +74,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def chain_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    """Sharding for per-chain/per-particle stacked tensors with a leading
+    chains axis: chains over ``batch``, everything else replicated.  Used to
+    shard vmapped HMC/NUTS chains and SMC particles across the mesh (the
+    north-star "64 sharded chains" configuration) — each device integrates
+    only its chains; no collectives are needed because chains are
+    independent."""
+    return NamedSharding(mesh, P("batch", *([None] * (ndim - 1))))
+
+
 def shard_fit_inputs(mesh: Mesh, Y, state):
     """Place fit inputs on the mesh with the canonical layout; jit picks the
     shardings up from the arguments and GSPMD propagates them through the

@@ -140,6 +140,72 @@ class TestFailureDetection:
         assert int(out.n_iter) < 50
 
 
+@requires_8
+class TestShardedChains:
+    """North-star config 4: MCMC chains / SMC particles sharded over the
+    ``batch`` mesh axis. Sharded runs must reproduce the unsharded numbers
+    exactly (chains are independent; sharding only changes placement)."""
+
+    @pytest.fixture(scope="class")
+    def tiny_model(self):
+        model = TemporalAMEModel(n_nodes=6, n_time=3, latent_dim=1, seed=7)
+        model.generate_data(return_latents=True)
+        return model
+
+    def test_hmc_64_sharded_chains(self, tiny_model):
+        from tame.inference import TemporalAMEHMC
+        from tame.parallel import make_mesh
+
+        mesh = make_mesh(batch=8)
+        hmc = TemporalAMEHMC(tiny_model, num_chains=64, num_leapfrog=5,
+                             seed=3, precondition=False)
+        out = hmc.sample(num_warmup=15, num_samples=15, mesh=mesh)
+        assert out.positions.shape[:2] == (64, 15)
+        # chains actually live across all 8 devices
+        assert len(out.positions.sharding.device_set) == 8
+
+        ref = hmc.sample(num_warmup=15, num_samples=15)
+        assert np.allclose(np.asarray(ref.positions),
+                           np.asarray(out.positions), atol=1e-5)
+
+    def test_nuts_sharded_chains(self, tiny_model):
+        from tame.inference import TemporalAMENUTS
+        from tame.parallel import make_mesh
+
+        mesh = make_mesh(batch=8)
+        nuts = TemporalAMENUTS(tiny_model, num_chains=8, max_depth=4,
+                               seed=3, precondition=False)
+        out = nuts.sample(num_warmup=10, num_samples=10, mesh=mesh)
+        assert out.positions.shape[:2] == (8, 10)
+        ref = nuts.sample(num_warmup=10, num_samples=10)
+        # the binary U-turn decision amplifies reduction-order float
+        # differences chaotically, so sharded/unsharded trajectories are
+        # not bitwise comparable (unlike fixed-length HMC); check the
+        # sampler is statistically unchanged instead
+        assert np.all(np.isfinite(np.asarray(out.positions)))
+        m_ref = np.asarray(ref.positions).mean(axis=(0, 1))
+        m_out = np.asarray(out.positions).mean(axis=(0, 1))
+        assert np.allclose(m_ref, m_out, atol=0.5)
+
+    def test_smc_sharded_particles(self, tiny_model):
+        from tame.inference import TemporalAMESMC
+        from tame.parallel import make_mesh
+
+        mesh = make_mesh(batch=8)
+        smc = TemporalAMESMC(tiny_model, num_particles=64, num_stages=5,
+                             num_moves=1, seed=3, precondition=False)
+        out = smc.sample(mesh=mesh)
+        assert out.particles.shape[0] == 64
+        assert len(out.particles.sharding.device_set) == 8
+        ref = smc.sample()
+        # resampling gathers across shards; numerics identical up to
+        # reduction order in the logsumexp collectives
+        assert np.allclose(np.asarray(ref.particles),
+                           np.asarray(out.particles), atol=1e-4)
+        assert np.allclose(float(ref.log_evidence),
+                           float(out.log_evidence), atol=1e-4)
+
+
 class TestDistributedHelpers:
     def test_initialize_single_process_noop(self):
         from tame.parallel import initialize_distributed
