@@ -26,6 +26,7 @@ covariances are refreshed from each solve.
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -36,6 +37,7 @@ from tame.inference import cavi
 from tame.models.params import AMEParams
 from tame.ops import dyad as dyad_ops
 from tame.ops.dyad import HIGHEST
+from tame.ops.fused_smoother import fused_smoother, fused_smoother_supported
 from tame.ops.tridiag import block_tridiag_smoother
 
 _LOG2PI = 1.8378770664093453
@@ -71,9 +73,17 @@ def init_smoothed_state(key: Array, n: int, T: int, d: int,
 
 def smoothed_step(state: SmoothedState, obs: cavi.ObsConstants,
                   pri: cavi.PriorMatrices, params: AMEParams, lr: Array,
-                  corrected: bool = True) -> SmoothedState:
+                  corrected: bool = True,
+                  fused: bool = False) -> SmoothedState:
     """One simultaneous update: every node's trajectory re-solved exactly
-    against the other nodes' current means."""
+    against the other nodes' current means.
+
+    ``fused=True`` runs the forward-backward smooth in the Pallas kernel
+    (:func:`tame.ops.fused_smoother.fused_smoother`) instead of the
+    ``vmap``-ed ``lax.scan`` solver — one kernel for the whole batched
+    solve, the north star's "AR(1) forward-backward smoothing as a fused
+    kernel" item.
+    """
     n, T, d = state.X_mean.shape
     r = (d - 2) // 2
     _, _, U, V = dyad_ops.split_state(state.X_mean, r)
@@ -84,10 +94,17 @@ def smoothed_step(state: SmoothedState, obs: cavi.ObsConstants,
                             corrected)                    # (n, T, d)
     O = -pri.Qinv_Phi.T                                   # -Phi' Q^-1
 
-    out = jax.vmap(lambda Di, bi: block_tridiag_smoother(Di, O, bi))(D, b)
+    if fused:
+        # interpret mode lets CPU tests exercise the kernel (cf. fit_cavi)
+        out = fused_smoother(D, O, b,
+                             interpret=jax.default_backend() == "cpu")
+    else:
+        out = jax.vmap(lambda Di, bi: block_tridiag_smoother(Di, O, bi))(
+            D, b)
     X_mean = lr * out.mean + (1.0 - lr) * state.X_mean
-    return SmoothedState(X_mean=X_mean, X_cov=out.cov,
-                         X_cross=out.cross_cov, logdets=out.logdet)
+    return SmoothedState(X_mean=X_mean.astype(state.X_mean.dtype),
+                         X_cov=out.cov, X_cross=out.cross_cov,
+                         logdets=out.logdet)
 
 
 def smoothed_elbo(Y: Array, params: AMEParams, pri: cavi.PriorMatrices,
@@ -154,22 +171,36 @@ def smoothed_elbo(Y: Array, params: AMEParams, pri: cavi.PriorMatrices,
 def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
                       max_iter: int = 100, learning_rate=0.8,
                       tolerance=1e-4, patience: int = 3,
-                      corrected: bool = True) -> SmoothedFitResult:
+                      corrected: bool = True,
+                      fused="auto") -> SmoothedFitResult:
+    """``fused``: True forces the Pallas forward-backward kernel, False the
+    ``vmap``-ed scan solver, "auto" (default) picks the kernel on TPU when
+    the shape is supported (``TAME_DISABLE_FUSED_FIT=1`` disables)."""
     buf = 64
     while buf < max_iter:
         buf *= 2
+    n, _, T, _ = Y.shape
+    d = init.X_mean.shape[-1]
+    if fused == "auto":
+        fused = (fused_smoother_supported(n, T, d)
+                 and not os.environ.get("TAME_DISABLE_FUSED_FIT")
+                 and jax.default_backend() != "cpu")
+    elif fused and not fused_smoother_supported(n, T, d):
+        raise ValueError(f"fused smoother unsupported for n={n}, T={T}, "
+                         f"d={d} (needs T >= 2, d <= 12, VMEM-sized tile)")
     return _fit_smoothed_impl(Y, params, init, jnp.asarray(max_iter),
                               jnp.asarray(learning_rate, Y.dtype),
                               jnp.asarray(tolerance, Y.dtype),
                               buf_size=buf, patience=patience,
-                              corrected=corrected)
+                              corrected=corrected, fused=bool(fused))
 
 
 @functools.partial(jax.jit, static_argnames=("buf_size", "patience",
-                                             "corrected"))
+                                             "corrected", "fused"))
 def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol, *,
                        buf_size: int, patience: int,
-                       corrected: bool) -> SmoothedFitResult:
+                       corrected: bool,
+                       fused: bool = False) -> SmoothedFitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
@@ -183,7 +214,8 @@ def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol, *,
 
     def body(carry):
         state, it, prev, pat, conv, div, eh, mh = carry
-        state = smoothed_step(state, obs, pri, params, lr, corrected)
+        state = smoothed_step(state, obs, pri, params, lr, corrected,
+                              fused=fused)
         mu = dyad_ops.dyadic_mean_temporal(state.X_mean, r)
         elbo = smoothed_elbo(Y, params, pri, state, mu_dyadic=mu)
         mse = dyad_ops.masked_sq_error_temporal(Y, mu)

@@ -372,6 +372,57 @@ class TestSmoothedEngine:
         assert (hs["reconstruction_error"][-1]
                 <= hg["reconstruction_error"][-1] * 1.05)
 
+    def test_fused_smoother_kernel_matches_scan(self):
+        """Pallas forward-backward kernel vs the vmapped lax.scan solver
+        on random SPD block-tridiagonal systems (interpret mode on CPU)."""
+        from tame.ops.fused_smoother import fused_smoother
+        from tame.ops.tridiag import block_tridiag_smoother
+
+        key = jax.random.PRNGKey(0)
+        n, T, d = 5, 7, 6
+        A = jax.random.normal(key, (n, T, d, d))
+        D = jnp.einsum("ntij,ntkj->ntik", A, A) + 3.0 * jnp.eye(d)
+        O = 0.3 * jax.random.normal(jax.random.fold_in(key, 1), (d, d))
+        b = jax.random.normal(jax.random.fold_in(key, 2), (n, T, d))
+
+        ref = jax.vmap(lambda Di, bi: block_tridiag_smoother(Di, O, bi))(
+            D, b)
+        got = fused_smoother(D, O, b, interpret=True)
+        assert np.allclose(np.asarray(ref.mean), np.asarray(got.mean),
+                           atol=1e-4)
+        assert np.allclose(np.asarray(ref.cov), np.asarray(got.cov),
+                           atol=1e-4)
+        assert np.allclose(np.asarray(ref.cross_cov),
+                           np.asarray(got.cross_cov), atol=1e-4)
+        assert np.allclose(np.asarray(ref.logdet), np.asarray(got.logdet),
+                           rtol=1e-5)
+
+    def test_fused_smoothed_fit_matches_scan_fit(self):
+        """Whole smoothed fit through the Pallas kernel path vs the scan
+        path.  Pre-convergence trajectories are chaotic (a contracting map
+        only near the fixed point), so per-step float noise amplifies —
+        the meaningful check is agreement of the converged fixed point."""
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed,
+            init_smoothed_state,
+        )
+
+        model = TemporalAMEModel(n_nodes=6, n_time=4, latent_dim=1, seed=3)
+        Y, _ = model.generate_data(return_latents=True)
+        init = init_smoothed_state(jax.random.PRNGKey(0), 6, 4, 4)
+        a = fit_cavi_smoothed(Y, model.params, init, max_iter=256,
+                              learning_rate=0.5, tolerance=0.0,
+                              fused=False)
+        b = fit_cavi_smoothed(Y, model.params, init, max_iter=256,
+                              learning_rate=0.5, tolerance=0.0, fused=True)
+        assert np.allclose(np.asarray(a.state.X_mean),
+                           np.asarray(b.state.X_mean), atol=1e-3)
+        assert np.allclose(np.asarray(a.state.X_cov),
+                           np.asarray(b.state.X_cov), atol=1e-3)
+        ea = float(np.asarray(a.elbo_history)[255])
+        eb = float(np.asarray(b.elbo_history)[255])
+        assert abs(ea - eb) / abs(ea) < 1e-4
+
     def test_smoothed_state_shapes(self):
         from tame.inference import TemporalAMESmoothedVI
 
