@@ -40,12 +40,15 @@ NB = 128  # node-tile width (lanes)
 
 
 def fused_smoother_supported(n: int, T: int, d: int) -> bool:
-    """VMEM per tile ~ (2 d^2 + 2 d) * T * NB * 4 bytes (+ the same again
-    for the in-flight next tile); code size unrolls O(d^3)."""
+    """VMEM per tile: in/out blocks are D (d^2) + cov (d^2) + cross (d^2)
+    + b/mean (2d) planes of (T, NB) f32, double-buffered across grid
+    steps (measured 17.5 MB at d=10, T=50); the kernel raises the scoped
+    limit to 48 MB and this check keeps usage under it.  Code size
+    unrolls O(d^3)."""
     if d > 12 or T < 2:
         return False
-    resident = (2 * d * d + 2 * d + 2) * T * NB * 4
-    return 2 * resident < 12 * 1024 * 1024
+    resident = (3 * d * d + 2 * d + 2) * T * NB * 4
+    return 2 * resident < 40 * 1024 * 1024
 
 
 class FusedSmootherOut(NamedTuple):
@@ -228,6 +231,11 @@ def fused_smoother(D: Array, O: Array, b: Array,
             jax.ShapeDtypeStruct((d, d, T, n_pad), f32),
             jax.ShapeDtypeStruct((1, n_pad), f32),
         ],
+        # double-buffered in/out blocks at d=10, T=50 need ~17.5 MB —
+        # just over the default 16 MB scoped-vmem limit; raise it (the
+        # budget check in fused_smoother_supported keeps usage bounded)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(O, f32), Dk, bk)
 
