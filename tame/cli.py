@@ -65,6 +65,11 @@ def _cmd_fit(args) -> int:
         vi = TemporalAMENaiveMFVI(model, learning_rate=args.lr,
                                   seed=args.seed,
                                   update_mode=args.update_mode)
+    elif args.method == "smoothed":
+        from tame.inference import TemporalAMESmoothedVI
+
+        vi = TemporalAMESmoothedVI(model, learning_rate=args.lr,
+                                   seed=args.seed)
     else:
         vi = TemporalAMEStructuredMFVI(
             model, factorization=args.method, learning_rate=args.lr,
@@ -74,6 +79,9 @@ def _cmd_fit(args) -> int:
     print_diagnostic_summary(args.method, history, X_true=X_true,
                              X_est=vi.X_mean, latent_dim=args.latent_dim)
     if args.checkpoint:
+        if not hasattr(vi, "save_checkpoint"):
+            print("Checkpointing is not supported for this engine.")
+            return 1
         vi.save_checkpoint(args.checkpoint)
         print(f"Checkpoint written to {args.checkpoint}")
     return 0
@@ -164,7 +172,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("fit", help="fit one VI engine")
     _add_model_flags(p)
-    p.add_argument("--method", choices=["naive", "good", "bad"],
+    p.add_argument("--method",
+                   choices=["naive", "good", "bad", "smoothed"],
                    default="good")
     p.add_argument("--lr", type=float, default=0.7)
     p.add_argument("--max-iter", type=int, default=150)
