@@ -46,7 +46,7 @@ from __future__ import annotations
 
 import functools
 import os
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -146,10 +146,18 @@ class DiagConstants(NamedTuple):
     sum_y0_y0T: Array   # scalar  sum_{ij,t} y0_ij y0_ji
     row_y0: Array       # (n, T)  sum_j y0_ij
     col_y0: Array       # (n, T)  sum_i y0_ij
+    y0_pad: Optional[Array] = None  # (T, n_pad, n_pad) bf16, dual-kernel
+    #                                 layout (only when dual_diag)
 
 
-def precompute_diag_constants(Y: Array) -> DiagConstants:
+def precompute_diag_constants(Y: Array,
+                              dual_diag: bool = False) -> DiagConstants:
     y0 = Y[..., 0]
+    y0_pad = None
+    if dual_diag:
+        from tame.ops.dual_contract import pad_data
+
+        y0_pad = pad_data(jnp.moveaxis(y0, -1, 0))     # (T, n, n) layout
     return DiagConstants(
         sum_y0_sq=jnp.sum(y0 * y0),
         sum_y0_y0T=jnp.einsum("ijt,jit->", y0, y0,
@@ -157,6 +165,7 @@ def precompute_diag_constants(Y: Array) -> DiagConstants:
                               precision=HIGHEST),
         row_y0=y0.sum(1),
         col_y0=y0.sum(0),
+        y0_pad=y0_pad,
     )
 
 
@@ -187,14 +196,28 @@ def _residual_stats_from_moments(dc: DiagConstants, obs: ObsConstants,
     a, b, U, V = dyad_ops.split_state(X_mean, r)          # (n,T), (n,T,r)
     p, q = R_inv[0, 0], R_inv[0, 1]
 
-    # -- data-mean cross terms via the stored dyad weights ------------------
-    W0V = _eta_contract(obs.W0, V)                        # (n, T, r)
-    W1V = _eta_contract(obs.W1, V)
-    s1 = jnp.sum(U * W0V)
-    s3 = jnp.sum(U * W1V)
-    denom = p * p - q * q
-    A = (p * s1 - q * s3) / denom
-    B = (p * s3 - q * s1) / denom
+    # -- data-mean cross terms A = sum y0_ij u_ij, B = sum y0_ij u_ji -------
+    if dc.y0_pad is not None:
+        # One streaming pass over the data computes y0 V and y0' V
+        # together (tame.ops.dual_contract); A and B follow directly:
+        # A = <U, y0 V>, B = <U, y0' V>.  Halves the diagnostics HBM
+        # traffic vs the two weight-tensor contractions below.
+        from tame.ops.dual_contract import dual_contract_padded
+
+        Vt = jnp.moveaxis(V, 1, 0)                        # (T, n, r)
+        rowV, colV = dual_contract_padded(
+            dc.y0_pad, Vt, interpret=jax.default_backend() == "cpu")
+        Ut = jnp.moveaxis(U, 1, 0)
+        A = jnp.sum(Ut * rowV)
+        B = jnp.sum(Ut * colV)
+    else:
+        W0V = _eta_contract(obs.W0, V)                    # (n, T, r)
+        W1V = _eta_contract(obs.W1, V)
+        s1 = jnp.sum(U * W0V)
+        s3 = jnp.sum(U * W1V)
+        denom = p * p - q * q
+        A = (p * s1 - q * s3) / denom
+        B = (p * s3 - q * s1) / denom
 
     # -- per-time global moments (all O(n T r^2)) ---------------------------
     alpha = a.sum(0)                                      # (T,)
@@ -905,7 +928,14 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
         running = jnp.logical_not(jnp.logical_or(conv, div))
         return jnp.logical_and(it < max_iter, running)
 
-    dc = precompute_diag_constants(Y) if diag_mode == "stats" else None
+    # Dual-contraction diagnostics: in mixed-precision stats mode the
+    # A/B data-mean cross terms come from ONE pass over the bf16 data
+    # tensor (tame.ops.dual_contract) instead of two passes over the
+    # weight tensors — the remaining HBM lever at scale (README).
+    dual_diag = (diag_mode == "stats" and mixed_precision
+                 and not os.environ.get("TAME_DISABLE_FUSED_FIT"))
+    dc = (precompute_diag_constants(Y, dual_diag=dual_diag)
+          if diag_mode == "stats" else None)
 
     def diagnostics(state):
         if diag_mode == "stats":

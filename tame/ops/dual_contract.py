@@ -1,0 +1,111 @@
+"""One-pass dual dyadic contraction: ``y0 @ Z`` and ``y0' @ Z`` together.
+
+At production scale the engine is HBM-bound (README §TPU-native design
+notes): every pass over an observation-sized ``(T, n, n)`` tensor costs
+milliseconds.  The sufficient-statistics diagnostics need BOTH
+``row(Z) = y0 Z`` (row contraction) and ``col(Z) = y0' Z`` (column
+contraction) of the same data tensor; as two einsums that is two full
+passes (XLA cannot fuse them — the second visits the tensor transposed).
+This kernel computes both in ONE streaming pass: each (t, row-tile) grid
+step issues two MXU dots — ``W_tile @ Z_t`` into its row-output block and
+``W_tile' @ Z_t[tile rows]`` accumulated into the column-output block,
+which Pallas keeps resident across the row-tile-innermost grid steps.
+
+Used by the ``diag_mode="stats"`` path of ``fit_cavi`` (mixed precision,
+TPU): per-iteration diagnostics traffic drops from two weight passes
+(~800 MB at n=2000) to one data pass (~400 MB).
+
+Jacobi-only updates through this kernel were measured and rejected: at
+n=2000 Jacobi needs lr <= 0.5 and ~6x the iterations of 8-block
+Gauss-Seidel (scripts/jacobi_scale_probe.py), which loses more than the
+halved traffic saves.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BI = 512  # row-tile height
+
+
+def _pad_to(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _dual_kernel(W_ref, Z_ref, Zrows_ref, row_ref, col_ref):
+    i = pl.program_id(1)
+    W = W_ref[0]                    # (BI, n) bf16
+    row_ref[0] = jnp.dot(W, Z_ref[0],
+                         preferred_element_type=jnp.float32)
+    # column contribution of this row tile: W' @ Z[tile rows]
+    partial = jax.lax.dot_general(
+        W, Zrows_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # (n, MP)
+
+    @pl.when(i == 0)
+    def _init():
+        col_ref[0] = partial
+
+    @pl.when(i > 0)
+    def _acc():
+        col_ref[0] = col_ref[0] + partial
+
+
+def pad_data(y0: Array) -> Array:
+    """Pad a ``(T, n, n)`` data tensor to the kernel's bf16 layout once per
+    fit (padding per call would re-materialize the full tensor every
+    iteration and defeat the traffic saving)."""
+    T, n, _ = y0.shape
+    n_pad = _pad_to(n, BI)
+    Wp = jnp.zeros((T, n_pad, n_pad), jnp.bfloat16)
+    return Wp.at[:, :n, :n].set(y0.astype(jnp.bfloat16))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dual_contract_padded(Wp: Array, Z: Array,
+                         interpret: bool = False) -> Tuple[Array, Array]:
+    """Dual contraction against a pre-padded data tensor (``pad_data``).
+
+    ``Wp (T, n_pad, n_pad)`` bf16, ``Z (T, n, m)``.  Returns f32
+    ``(row, col)`` of shape ``(T, n, m)`` where ``row = Wp[:n,:n] @ Z`` and
+    ``col = Wp[:n,:n]' @ Z`` (padded rows/cols are zero, so they
+    contribute nothing)."""
+    T, n_pad, _ = Wp.shape
+    n, m = Z.shape[-2], Z.shape[-1]
+    mp = _pad_to(m, 128)
+    Zp = jnp.zeros((T, n_pad, mp), jnp.bfloat16)
+    Zp = Zp.at[:, :n, :m].set(Z.astype(jnp.bfloat16))
+
+    row, col = pl.pallas_call(
+        _dual_kernel,
+        grid=(T, n_pad // BI),
+        in_specs=[
+            pl.BlockSpec((1, BI, n_pad), lambda t, i: (t, i, 0)),
+            pl.BlockSpec((1, n_pad, mp), lambda t, i: (t, 0, 0)),
+            pl.BlockSpec((1, BI, mp), lambda t, i: (t, i, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, BI, mp), lambda t, i: (t, i, 0)),
+            pl.BlockSpec((1, n_pad, mp), lambda t, i: (t, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, n_pad, mp), jnp.float32),
+            jax.ShapeDtypeStruct((T, n_pad, mp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(Wp, Zp, Zp)
+
+    return row[:, :n, :m], col[:, :n, :m]
+
+
+def dual_contract(y0: Array, Z: Array,
+                  interpret: bool = False) -> Tuple[Array, Array]:
+    """Convenience wrapper: pad + contract (see ``dual_contract_padded``)."""
+    return dual_contract_padded(pad_data(y0), Z, interpret=interpret)

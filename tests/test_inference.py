@@ -578,6 +578,48 @@ class TestStatsDiagnostics:
         with pytest.raises(ValueError, match="diag_mode"):
             cavi.fit_cavi(Y, model.params, init, diag_mode="bogus")
 
+    def test_dual_contract_kernel(self):
+        """One-pass row+column contraction vs two einsums (bf16-quantized
+        reference), including the padded path."""
+        from tame.ops.dual_contract import dual_contract
+
+        key = jax.random.PRNGKey(0)
+        T, n, m = 3, 20, 4
+        y0 = jax.random.normal(key, (T, n, n))
+        Z = jax.random.normal(jax.random.fold_in(key, 1), (T, n, m))
+        row, col = dual_contract(y0, Z, interpret=True)
+        y0b = y0.astype(jnp.bfloat16).astype(jnp.float32)
+        Zb = Z.astype(jnp.bfloat16).astype(jnp.float32)
+        rref = jnp.einsum("tij,tjm->tim", y0b, Zb)
+        cref = jnp.einsum("tij,tim->tjm", y0b, Zb)
+        assert np.allclose(np.asarray(row), np.asarray(rref), atol=1e-5)
+        assert np.allclose(np.asarray(col), np.asarray(cref), atol=1e-5)
+
+    def test_dual_diag_matches_exact_history(self):
+        """mixed_precision + diag_mode='stats' routes A/B through the
+        dual-contraction kernel; histories must still track the exact
+        (f32) diagnostics to bf16 data-quantization error."""
+        model = TemporalAMEModel(n_nodes=14, n_time=6, latent_dim=2,
+                                 rho_dyadic=0.5, seed=5)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(3), 14, 6, 6, "full",
+                               0.1, 0.5)
+        kw = dict(structure="full", update_mode="block", max_iter=30,
+                  learning_rate=0.7, tolerance=0.0, mixed_precision=True)
+        exact = cavi.fit_cavi(Y, model.params, init, **kw)
+        stats = cavi.fit_cavi(Y, model.params, init, diag_mode="stats",
+                              **kw)
+        eh_e = np.asarray(exact.elbo_history)[:30]
+        eh_s = np.asarray(stats.elbo_history)[:30]
+        mh_e = np.asarray(exact.mse_history)[:30]
+        mh_s = np.asarray(stats.mse_history)[:30]
+        # bf16 stores ~8 mantissa bits -> ~0.4 % relative quantization on
+        # the data; the residual statistics inherit it
+        assert np.max(np.abs(eh_e - eh_s) / np.abs(eh_e)) < 1e-2
+        assert np.max(np.abs(mh_e - mh_s) / np.abs(mh_e)) < 1e-2
+        assert np.allclose(np.asarray(exact.X_mean),
+                           np.asarray(stats.X_mean))
+
 
 class TestFusedFit:
     """Whole-fit Pallas megakernel (tame/ops/fused_fit.py) vs the XLA path.
