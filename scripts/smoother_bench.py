@@ -34,12 +34,18 @@ def timeit(label, fn, reps=5):
     out = fn(D, b)
     np.asarray(out.mean)
     best = float("inf")
-    for _ in range(reps):
+    for i in range(reps):
+        # Vary the rhs per repeat: the device transport caches results of
+        # identical (executable, inputs) pairs and would read ~0 ms
+        # otherwise (CLAUDE.md).
+        bi = b + jnp.float32(1e-3 * (i + 1))
         t0 = time.perf_counter()
-        o = fn(D, b)
+        o = fn(D, bi)
         np.asarray(o.mean)
         best = min(best, time.perf_counter() - t0)
-    print(f"{label}: {best * 1e3:.2f} ms", flush=True)
+    print(f"{label}: {best * 1e3:.2f} ms "
+          f"(incl. ~25-35 ms tunnel dispatch; compare paths, not absolute "
+          f"device time)", flush=True)
     return out
 
 

@@ -74,14 +74,16 @@ def _cmd_fit(args) -> int:
         vi = TemporalAMEStructuredMFVI(
             model, factorization=args.method, learning_rate=args.lr,
             seed=args.seed, update_mode=args.update_mode)
+    # Validate checkpoint support BEFORE the (potentially long) fit so an
+    # unsupported engine fails fast instead of discarding the work.
+    if args.checkpoint and not hasattr(vi, "save_checkpoint"):
+        print("Checkpointing is not supported for this engine.")
+        return 1
     history = vi.fit(max_iter=args.max_iter, tolerance=args.tolerance,
                      verbose=True, check_every=args.check_every)
     print_diagnostic_summary(args.method, history, X_true=X_true,
                              X_est=vi.X_mean, latent_dim=args.latent_dim)
     if args.checkpoint:
-        if not hasattr(vi, "save_checkpoint"):
-            print("Checkpointing is not supported for this engine.")
-            return 1
         vi.save_checkpoint(args.checkpoint)
         print(f"Checkpoint written to {args.checkpoint}")
     return 0

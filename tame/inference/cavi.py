@@ -758,6 +758,12 @@ def init_state(key: Array, n: int, T: int, d: int, structure: str,
 # Full fit (compiled convergence loop)
 # ---------------------------------------------------------------------------
 
+# Observability probe: records whether the most recent fit_cavi call
+# dispatched to the Pallas megakernel (set outside jit; tests and the
+# bench read it to assert the default path hits the kernel on TPU).
+LAST_FIT_USED_FUSED = False
+
+
 class FitResult(NamedTuple):
     X_mean: Array        # (n, T, d)
     X_cov: Array         # (n, T, d, d)
@@ -814,8 +820,9 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     state resident in VMEM, eliminating per-iteration dispatch (the
     dominant cost at demo-scale configs).  ``"auto"`` (default) uses it on
     TPU whenever the configuration is supported (any covariance structure,
-    Jacobi updates, exact per-iteration diagnostics, VMEM-sized problem);
-    ``True`` forces it
+    jacobi or block updates, exact per-iteration diagnostics, VMEM-sized
+    problem, single-device input — so the default engine configuration
+    hits the kernel); ``True`` forces it
     (interpreted on CPU — slow, for testing); ``False`` disables.  Results
     match the unfused path to float32 reduction error; the only scheduling
     difference is that the kernel always runs ``max_iter`` internal
@@ -846,41 +853,58 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
         buf *= 2
     n_, _, T_, _ = Y.shape
     d_ = init.X_mean.shape[-1]
+    if update_mode == "block" and num_blocks is None:
+        # Largest divisor of n that is <= 16: near-GS stability with
+        # maximal per-phase parallelism.
+        num_blocks = next(k for k in range(min(16, n_), 0, -1)
+                          if n_ % k == 0)
+    global LAST_FIT_USED_FUSED
+    LAST_FIT_USED_FUSED = False
     if fused not in (False, None):
         supported = fused_fit.fused_fit_supported(
             n_, T_, d_, structure=structure, update_mode=update_mode,
             diag_mode=diag_mode, mixed_precision=mixed_precision,
-            elbo_every=elbo_every)
+            elbo_every=elbo_every, num_blocks=num_blocks)
         disabled = bool(os.environ.get("TAME_DISABLE_FUSED_FIT"))
         on_cpu = jax.default_backend() == "cpu"
+        # A single pallas_call is not GSPMD-partitioned: inputs sharded
+        # across devices must take the XLA path (collectives).  Tracers
+        # (fit_cavi under an outer jit, e.g. bench.py) have no sharding
+        # and pass through.
+        try:
+            multi_device = len(Y.sharding.device_set) > 1
+        except Exception:
+            multi_device = False
         if fused is True:
             if not supported:
                 raise ValueError(
-                    "fused=True requires update_mode='jacobi', "
+                    "fused=True requires update_mode 'jacobi' or 'block', "
                     "diag_mode='exact', mixed_precision=False, "
                     "elbo_every=1 and a VMEM-sized problem")
             use_fused = not disabled
         else:  # "auto"
-            use_fused = supported and not disabled and not on_cpu
+            use_fused = (supported and not disabled and not on_cpu
+                         and not multi_device)
         if use_fused:
+            LAST_FIT_USED_FUSED = True
             out = fused_fit.fused_fit(
                 Y, params.R_inv, params.Sigma0, params.Q, params.Phi,
                 init.X_mean, init.X_cov,
                 jnp.asarray(max_iter), jnp.asarray(learning_rate, Y.dtype),
                 jnp.asarray(tolerance, Y.dtype),
                 r=(d_ - 2) // 2, buf_size=buf, patience=patience,
-                corrected=corrected, structure=structure, interpret=on_cpu)
+                corrected=corrected, structure=structure,
+                num_blocks=(num_blocks if update_mode == "block" else 1),
+                interpret=on_cpu)
             return FitResult(X_mean=out.X_mean, X_cov=out.X_cov,
                              elbo_history=out.elbo_history,
                              mse_history=out.mse_history,
                              n_iter=out.n_iter, converged=out.converged,
                              diverged=out.diverged)
-    if update_mode == "block" and num_blocks is None:
-        # Largest divisor of n that is <= 16: near-GS stability with
-        # maximal per-phase parallelism.
-        n = Y.shape[0]
-        num_blocks = next(k for k in range(min(16, n), 0, -1)
-                          if n % k == 0)
+    # Evaluated OUTSIDE jit so toggling the env var between calls is not
+    # silently baked into a cached trace (cf. the `fused` gate above).
+    dual_diag = (diag_mode == "stats" and mixed_precision
+                 and not os.environ.get("TAME_DISABLE_FUSED_FIT"))
     return _fit_cavi_impl(Y, params, init, jnp.asarray(max_iter),
                           jnp.asarray(learning_rate, Y.dtype),
                           jnp.asarray(tolerance, Y.dtype),
@@ -889,7 +913,7 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                           num_blocks=num_blocks, corrected=corrected,
                           elbo_every=elbo_every,
                           mixed_precision=mixed_precision,
-                          diag_mode=diag_mode)
+                          diag_mode=diag_mode, dual_diag=dual_diag)
 
 
 @functools.partial(jax.jit, static_argnames=("structure", "update_mode",
@@ -897,13 +921,13 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                                              "num_blocks", "corrected",
                                              "elbo_every",
                                              "mixed_precision",
-                                             "diag_mode"))
+                                             "diag_mode", "dual_diag"))
 def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
                    max_iter: Array, learning_rate: Array, tolerance: Array,
                    *, structure: str, update_mode: str, buf_size: int,
                    patience: int, num_blocks, corrected: bool,
                    elbo_every: int, mixed_precision: bool,
-                   diag_mode: str) -> FitResult:
+                   diag_mode: str, dual_diag: bool = False) -> FitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
@@ -932,8 +956,6 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
     # A/B data-mean cross terms come from ONE pass over the bf16 data
     # tensor (tame.ops.dual_contract) instead of two passes over the
     # weight tensors — the remaining HBM lever at scale (README).
-    dual_diag = (diag_mode == "stats" and mixed_precision
-                 and not os.environ.get("TAME_DISABLE_FUSED_FIT"))
     dc = (precompute_diag_constants(Y, dual_diag=dual_diag)
           if diag_mode == "stats" else None)
 

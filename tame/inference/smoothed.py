@@ -304,3 +304,61 @@ class TemporalAMESmoothedVI:
 
     def get_variational_covariances(self):
         return self.X_cov
+
+    def predict_forward(self, n_steps: int = 1):
+        """AR(1) forward forecast from the last smoothed state means
+        (reference ``naive_mf.py:386-396``), via one ``lax.scan``."""
+        Phi = self.params.Phi
+
+        def step(x, _):
+            x = x @ Phi.T
+            return x, x
+
+        _, preds = jax.lax.scan(step, self.X_mean[:, -1], None,
+                                length=n_steps)
+        return jnp.swapaxes(preds, 0, 1)  # (n, n_steps, d)
+
+    def save_checkpoint(self, ckpt_dir) -> None:
+        """Checkpoint the full smoothed-fit state (means, marginal and
+        lag-1 cross covariances, logdets, history) for restart."""
+        import numpy as np
+
+        from tame.io import save_checkpoint
+
+        save_checkpoint(ckpt_dir, {
+            "X_mean": self._state.X_mean,
+            "X_cov": self._state.X_cov,
+            "X_cross": self._state.X_cross,
+            "logdets": self._state.logdets,
+            "history": {
+                "elbo": np.asarray(self.history["elbo"]),
+                "reconstruction_error": np.asarray(
+                    self.history["reconstruction_error"]),
+            },
+            "structure": self.structure,
+            "learning_rate": self.lr,
+            "seed": self.seed,
+        })
+
+    def load_checkpoint(self, ckpt_dir) -> None:
+        """Restore a checkpoint saved by :meth:`save_checkpoint`; a
+        subsequent ``fit`` continues from the restored state."""
+        import numpy as np
+
+        from tame.io import load_checkpoint
+
+        state = load_checkpoint(ckpt_dir)
+        if state.get("structure", "smoothed") != "smoothed":
+            raise ValueError(
+                f"checkpoint structure '{state.get('structure')}' is not "
+                "'smoothed'")
+        self._state = SmoothedState(
+            X_mean=jnp.asarray(state["X_mean"]),
+            X_cov=jnp.asarray(state["X_cov"]),
+            X_cross=jnp.asarray(state["X_cross"]),
+            logdets=jnp.asarray(state["logdets"]))
+        self.history = {
+            "elbo": list(np.asarray(state["history"]["elbo"]).tolist()),
+            "reconstruction_error": list(np.asarray(
+                state["history"]["reconstruction_error"]).tolist()),
+        }

@@ -61,10 +61,15 @@ def _dual_kernel(W_ref, Z_ref, Zrows_ref, row_ref, col_ref):
 def pad_data(y0: Array) -> Array:
     """Pad a ``(T, n, n)`` data tensor to the kernel's bf16 layout once per
     fit (padding per call would re-materialize the full tensor every
-    iteration and defeat the traffic saving)."""
+    iteration and defeat the traffic saving).
+
+    Only the row (tile) axis needs BI alignment; columns need only
+    128-lane alignment — for n just above a BI boundary (e.g. n = 520)
+    the resident padded copy is 1024 x 640 instead of 1024 x 1024."""
     T, n, _ = y0.shape
-    n_pad = _pad_to(n, BI)
-    Wp = jnp.zeros((T, n_pad, n_pad), jnp.bfloat16)
+    rows_pad = _pad_to(n, BI)
+    cols_pad = _pad_to(n, 128)
+    Wp = jnp.zeros((T, rows_pad, cols_pad), jnp.bfloat16)
     return Wp.at[:, :n, :n].set(y0.astype(jnp.bfloat16))
 
 
@@ -73,31 +78,35 @@ def dual_contract_padded(Wp: Array, Z: Array,
                          interpret: bool = False) -> Tuple[Array, Array]:
     """Dual contraction against a pre-padded data tensor (``pad_data``).
 
-    ``Wp (T, n_pad, n_pad)`` bf16, ``Z (T, n, m)``.  Returns f32
-    ``(row, col)`` of shape ``(T, n, m)`` where ``row = Wp[:n,:n] @ Z`` and
+    ``Wp (T, rows_pad, cols_pad)`` bf16 (``pad_data`` layout: rows to BI,
+    columns to 128 lanes), ``Z (T, n, m)``.  Returns f32 ``(row, col)`` of
+    shape ``(T, n, m)`` where ``row = Wp[:n,:n] @ Z`` and
     ``col = Wp[:n,:n]' @ Z`` (padded rows/cols are zero, so they
     contribute nothing)."""
-    T, n_pad, _ = Wp.shape
+    T, rows_pad, cols_pad = Wp.shape
     n, m = Z.shape[-2], Z.shape[-1]
     mp = _pad_to(m, 128)
-    Zp = jnp.zeros((T, n_pad, mp), jnp.bfloat16)
+    # Z serves both contractions: the row product reads its first cols_pad
+    # rows, the per-tile column product reads BI-row tiles up to rows_pad.
+    zrows = max(rows_pad, cols_pad)
+    Zp = jnp.zeros((T, zrows, mp), jnp.bfloat16)
     Zp = Zp.at[:, :n, :m].set(Z.astype(jnp.bfloat16))
 
     row, col = pl.pallas_call(
         _dual_kernel,
-        grid=(T, n_pad // BI),
+        grid=(T, rows_pad // BI),
         in_specs=[
-            pl.BlockSpec((1, BI, n_pad), lambda t, i: (t, i, 0)),
-            pl.BlockSpec((1, n_pad, mp), lambda t, i: (t, 0, 0)),
+            pl.BlockSpec((1, BI, cols_pad), lambda t, i: (t, i, 0)),
+            pl.BlockSpec((1, cols_pad, mp), lambda t, i: (t, 0, 0)),
             pl.BlockSpec((1, BI, mp), lambda t, i: (t, i, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, BI, mp), lambda t, i: (t, i, 0)),
-            pl.BlockSpec((1, n_pad, mp), lambda t, i: (t, 0, 0)),
+            pl.BlockSpec((1, cols_pad, mp), lambda t, i: (t, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, n_pad, mp), jnp.float32),
-            jax.ShapeDtypeStruct((T, n_pad, mp), jnp.float32),
+            jax.ShapeDtypeStruct((T, rows_pad, mp), jnp.float32),
+            jax.ShapeDtypeStruct((T, cols_pad, mp), jnp.float32),
         ],
         interpret=interpret,
     )(Wp, Zp, Zp)

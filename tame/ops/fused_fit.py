@@ -16,11 +16,18 @@ Scope (checked by :func:`fused_fit_supported`):
   variances, reference ``naive_mf.py:266-274``), ``"block"`` (Bad SMF:
   invert, zero the additive x multiplicative cross blocks post-inversion,
   reference ``structured_mf.py:267-279``);
-* ``update_mode="jacobi"``, ``diag_mode="exact"``, ``elbo_every=1``,
-  float32;
+* ``update_mode="jacobi"`` (one simultaneous phase) AND
+  ``update_mode="block"`` (the engine default: ``num_blocks`` sequential
+  node-group phases per iteration, each phase re-reading the freshest
+  global sufficient statistics — the in-kernel analog of
+  ``cavi.cavi_step_block``, realized as dynamic sublane slices of the
+  ``(n, T)`` state planes);
+* ``diag_mode="exact"``, ``elbo_every=1``, float32;
 * ``corrected`` False (reference-parity natural parameter, SURVEY.md
   §2C-4) or True (exact update) — both supported;
-* problem small enough that all per-fit tensors fit in VMEM.
+* problem small enough that all per-fit tensors fit in VMEM (the kernel
+  raises the scoped-VMEM limit to 64 MB, cf. ``fused_smoother``; the
+  supported envelope reaches n ~ 100 at demo-scale T).
 
 Semantics match :func:`tame.inference.cavi.fit_cavi` exactly, with one
 deliberate difference in *work scheduling*: there is no early loop exit —
@@ -63,10 +70,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 _LOG2PI = 1.8378770664093453
 
-# VMEM budget for auto-selection: padded resident tensors must stay well
-# under the ~16 MB/core VMEM (leave room for register spill of the (n^2, T)
-# diagnostics intermediates).
-_VMEM_BUDGET_BYTES = 4 * 1024 * 1024
+# VMEM budget for auto-selection: padded resident tensors must stay under
+# the raised 64 MB scoped-VMEM limit with room for the (n^2, T)
+# diagnostics intermediates (~4 more observation-sized temporaries; the
+# fused_smoother proved the raised scoped limit on real hardware).
+_VMEM_BUDGET_BYTES = 36 * 1024 * 1024
+_VMEM_LIMIT_BYTES = 64 * 1024 * 1024
 
 
 def _pad(x: int, m: int) -> int:
@@ -75,11 +84,15 @@ def _pad(x: int, m: int) -> int:
 
 def fused_fit_supported(n: int, T: int, d: int, *, structure: str,
                         update_mode: str, diag_mode: str,
-                        mixed_precision: bool, elbo_every: int) -> bool:
+                        mixed_precision: bool, elbo_every: int,
+                        num_blocks: int | None = None) -> bool:
     """Whether the megakernel covers this fit configuration and size."""
     if (structure not in ("full", "diag", "block")
-            or update_mode != "jacobi"
+            or update_mode not in ("jacobi", "block")
             or diag_mode != "exact" or mixed_precision or elbo_every != 1):
+        return False
+    if update_mode == "block" and (num_blocks is None
+                                   or n % num_blocks != 0):
         return False
     if d > 12:  # unrolled Cholesky code size ~ O(d^3)
         return False
@@ -155,9 +168,11 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
                       Xm0_ref, Xc0_ref,
                       Xm_ref, Xc_ref, eh_ref, mh_ref, stats_ref,
                       *, n: int, T: int, r: int, patience: int,
-                      corrected: bool, structure: str):
+                      corrected: bool, structure: str,
+                      num_blocks: int = 1):
     d = 2 + 2 * r
     f32 = jnp.float32
+    bs = n // num_blocks
 
     max_iter = iters_ref[0, 0]
     lr0 = scal_ref[0, 0]
@@ -190,8 +205,8 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
     eh_ref[:] = jnp.full_like(eh_ref[:], jnp.nan)
     mh_ref[:] = jnp.full_like(mh_ref[:], jnp.nan)
 
-    # Time masks (broadcast over nodes).
-    tt = jax.lax.broadcasted_iota(jnp.int32, (n, T), dimension=1)
+    # Time masks: (1, T) planes broadcasting over any node-block height.
+    tt = jax.lax.broadcasted_iota(jnp.int32, (1, T), dimension=1)
     m0 = (tt == 0).astype(f32)
     mprev = (tt > 0).astype(f32)
     mnext = (tt < T - 1).astype(f32)
@@ -205,30 +220,42 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
         """(n, T) -> (n^2, T) with row i*n+j = x[j] (the 'other' index)."""
         return jnp.concatenate([x] * n, axis=0)
 
+    def w_row(ref, i):
+        """Row i of a (n, n, T) weight ref as its (n, T) plane; ``i`` may
+        be a static int (jacobi) or a traced index (block phases)."""
+        if isinstance(i, int):
+            return ref[i]
+        return ref[pl.ds(i, 1)][0]
+
     n_dyads = jnp.float32(n * (n - 1) // 2 * T)
     mse_denom = jnp.float32(n * (n - 1) * T)
 
-    def body(it, carry):
-        prev_elbo, pat, conv, div, n_done = carry
-        running = jnp.logical_not(jnp.logical_or(conv, div))
-        lr = lr0 * running.astype(f32)
-
-        a = Xm_ref[0]
-        b = Xm_ref[1]
-        U = [Xm_ref[2 + k] for k in range(r)]
-        V = [Xm_ref[2 + r + k] for k in range(r)]
+    def phase_update(start, lr):
+        """Closed-form damped update of the ``bs`` nodes starting at row
+        ``start``, reading the freshest global state (the in-kernel analog
+        of ``cavi.cavi_step_block``; ``num_blocks=1``/``start=0`` is
+        exactly the Jacobi step)."""
+        sl = pl.ds(start, bs)
+        af = Xm_ref[0]                      # full (n, T) planes
+        bf = Xm_ref[1]
+        Uf = [Xm_ref[2 + k] for k in range(r)]
+        Vf = [Xm_ref[2 + r + k] for k in range(r)]
+        ab = Xm_ref[0, sl]                  # this block's (bs, T) rows
+        bb = Xm_ref[1, sl]
+        Ub = [Xm_ref[2 + k, sl] for k in range(r)]
+        Vb = [Xm_ref[2 + r + k, sl] for k in range(r)]
 
         # ---- global sufficient statistics (sublane reductions) ----------
         def gsum(x):
             return jnp.sum(x, axis=0, keepdims=True)  # (1, T)
 
-        sU = [gsum(U[k]) - U[k] for k in range(r)]        # (n, T), minus self
-        sV = [gsum(V[k]) - V[k] for k in range(r)]
-        GUU = [[gsum(U[k] * U[l]) - U[k] * U[l] for l in range(r)]
+        sU = [gsum(Uf[k]) - Ub[k] for k in range(r)]     # (bs, T), minus self
+        sV = [gsum(Vf[k]) - Vb[k] for k in range(r)]
+        GUU = [[gsum(Uf[k] * Uf[l]) - Ub[k] * Ub[l] for l in range(r)]
                for k in range(r)]
-        GVV = [[gsum(V[k] * V[l]) - V[k] * V[l] for l in range(r)]
+        GVV = [[gsum(Vf[k] * Vf[l]) - Vb[k] * Vb[l] for l in range(r)]
                for k in range(r)]
-        GVU = [[gsum(V[k] * U[l]) - V[k] * U[l] for l in range(r)]
+        GVU = [[gsum(Vf[k] * Uf[l]) - Vb[k] * Ub[l] for l in range(r)]
                for k in range(r)]
 
         # ---- observation + prior precision (cavi._obs_precision) --------
@@ -246,42 +273,47 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
                 P[2 + r + k][2 + r + l] = p * GUU[k][l]
                 P[2 + k][2 + r + l] = P[2 + r + l][2 + k] = q * GVU[k][l]
         # prior precision terms (cavi._prior_precision): time-masked scalars
-        zero_plane = jnp.zeros((n, T), f32)
+        zero_blk = jnp.zeros((bs, T), f32)
         for i in range(d):
             for j in range(d):
                 pr = m0 * S0inv(i, j) + mprev * Qinv(i, j) + mnext * PtQP(i, j)
                 P[i][j] = pr if P[i][j] is None else P[i][j] + pr
 
         # ---- natural parameter (cavi._obs_nat_param) ---------------------
-        etaU = [[None] * n for _ in range(r)]
-        etaV = [[None] * n for _ in range(r)]
-        for i in range(n):
-            w0i = W0_ref[i]    # (n, T) plane: W0[i, j, t] over j
-            w1i = W1_ref[i]
+        etaU = [[None] * bs for _ in range(r)]
+        etaV = [[None] * bs for _ in range(r)]
+        for ii in range(bs):
+            i = ii if (isinstance(start, int) and start == 0) else start + ii
+            w0i = w_row(W0_ref, i)    # (n, T) plane: W0[i, j, t] over j
+            w1i = w_row(W1_ref, i)
             for k in range(r):
-                etaU[k][i] = jnp.sum(w0i * V[k], axis=0, keepdims=True)
-                etaV[k][i] = jnp.sum(w1i * U[k], axis=0, keepdims=True)
+                etaU[k][ii] = jnp.sum(w0i * Vf[k], axis=0, keepdims=True)
+                etaV[k][ii] = jnp.sum(w1i * Uf[k], axis=0, keepdims=True)
         eta = [None] * d
-        eta[0] = eta_a_ref[:]
-        eta[1] = eta_b_ref[:]
+        eta[0] = eta_a_ref[sl]
+        eta[1] = eta_b_ref[sl]
         for k in range(r):
             eta[2 + k] = jnp.concatenate(etaU[k], axis=0)
             eta[2 + r + k] = jnp.concatenate(etaV[k], axis=0)
         if corrected:
-            cpl = p * b + q * a
-            dpl = q * b + p * a
-            eta[0] = eta[0] - (gsum(cpl) - cpl)
-            eta[1] = eta[1] - (gsum(dpl) - dpl)
+            cpl = p * bf + q * af
+            dpl = q * bf + p * af
+            cpl_b = p * bb + q * ab
+            dpl_b = q * bb + p * ab
+            eta[0] = eta[0] - (gsum(cpl) - cpl_b)
+            eta[1] = eta[1] - (gsum(dpl) - dpl_b)
             for k in range(r):
-                eta[2 + k] = eta[2 + k] - (gsum(cpl * V[k]) - cpl * V[k])
-                eta[2 + r + k] = eta[2 + r + k] - (gsum(dpl * U[k])
-                                                   - dpl * U[k])
-        # prior coupling (cavi._prior_nat_param): lane roll + mask
-        mu_prev = [jnp.roll(Xm_ref[c], 1, axis=1) for c in range(d)]
-        mu_next = [jnp.roll(Xm_ref[c], -1, axis=1) for c in range(d)]
+                eta[2 + k] = eta[2 + k] - (gsum(cpl * Vf[k])
+                                           - cpl_b * Vb[k])
+                eta[2 + r + k] = eta[2 + r + k] - (gsum(dpl * Uf[k])
+                                                   - dpl_b * Ub[k])
+        # prior coupling (cavi._prior_nat_param): lane roll + mask on the
+        # block's own rows (the roll is per-row, so slicing commutes)
+        mu_prev = [jnp.roll(Xm_ref[c, sl], 1, axis=1) for c in range(d)]
+        mu_next = [jnp.roll(Xm_ref[c, sl], -1, axis=1) for c in range(d)]
         for i in range(d):
-            acc_p = zero_plane
-            acc_n = zero_plane
+            acc_p = zero_blk
+            acc_n = zero_blk
             for j in range(d):
                 acc_p = acc_p + QP(i, j) * mu_prev[j]
                 acc_n = acc_n + QP(j, i) * mu_next[j]
@@ -292,13 +324,13 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
             # Naive MF: full-precision mean solve, diagonal variances
             # 1/(diag(P)+1e-8) (cavi._solve_diag, naive_mf.py:266-274).
             _, mu_new = _plane_chol_solve(P, eta, d)
-            covf = [[1.0 / (P[i][i] + 1e-8) if i == j else zero_plane
+            covf = [[1.0 / (P[i][i] + 1e-8) if i == j else zero_blk
                      for j in range(d)] for i in range(d)]
         else:
             solve, _ = _plane_chol_solve(P, None, d)
             cov_raw = [[None] * d for _ in range(d)]
             for j in range(d):
-                rhs = [jnp.full((n, T), 1.0 if i == j else 0.0, f32)
+                rhs = [jnp.full((bs, T), 1.0 if i == j else 0.0, f32)
                        for i in range(d)]
                 col = solve(rhs)
                 for i in range(d):
@@ -307,7 +339,7 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
                 # Bad SMF: zero the additive x multiplicative cross blocks
                 # POST-inversion (cavi._solve_block,
                 # structured_mf.py:267-279).
-                cov_raw = [[zero_plane
+                cov_raw = [[zero_blk
                             if (i < 2) != (j < 2) else cov_raw[i][j]
                             for j in range(d)] for i in range(d)]
             covf = [[0.5 * (cov_raw[i][j] + cov_raw[j][i])
@@ -318,10 +350,27 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
 
         # ---- damped write-back (masked to freeze after stop) --------------
         for c in range(d):
-            Xm_ref[c] = lr * mu_new[c] + (1.0 - lr) * Xm_ref[c]
+            Xm_ref[c, sl] = lr * mu_new[c] + (1.0 - lr) * Xm_ref[c, sl]
         for i in range(d):
             for j in range(d):
-                Xc_ref[i, j] = lr * covf[i][j] + (1.0 - lr) * Xc_ref[i, j]
+                Xc_ref[i, j, sl] = (lr * covf[i][j]
+                                    + (1.0 - lr) * Xc_ref[i, j, sl])
+
+    def body(it, carry):
+        prev_elbo, pat, conv, div, n_done = carry
+        running = jnp.logical_not(jnp.logical_or(conv, div))
+        lr = lr0 * running.astype(f32)
+
+        if num_blocks == 1:
+            phase_update(0, lr)
+        else:
+            def run_phase(blk, _):
+                phase_update(blk * bs, lr)
+                return 0
+
+            jax.lax.fori_loop(0, num_blocks, run_phase, 0)
+
+        zero_plane = jnp.zeros((n, T), f32)
 
         # ---- exact-residual diagnostics ----------------------------------
         a = Xm_ref[0]
@@ -416,20 +465,26 @@ class FusedFitOut(NamedTuple):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "r", "buf_size", "patience", "corrected", "structure", "interpret"))
+    "r", "buf_size", "patience", "corrected", "structure", "num_blocks",
+    "interpret"))
 def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
               X_mean0: Array, X_cov0: Array, max_iter: Array,
               learning_rate: Array, tolerance: Array, *, r: int,
               buf_size: int, patience: int = 3, corrected: bool = False,
-              structure: str = "full",
+              structure: str = "full", num_blocks: int = 1,
               interpret: bool = False) -> FusedFitOut:
-    """Run the whole Jacobi CAVI fit in one Pallas kernel.
+    """Run the whole CAVI fit in one Pallas kernel.
 
-    Same contract as ``fit_cavi(update_mode="jacobi", diag_mode="exact")``
-    for any covariance-structure policy; see the module docstring for
-    scope.
+    ``num_blocks=1`` is the Jacobi step (same contract as
+    ``fit_cavi(update_mode="jacobi", diag_mode="exact")``);
+    ``num_blocks>1`` runs that many sequential block-Gauss-Seidel phases
+    per iteration (``fit_cavi(update_mode="block")`` — the engine
+    default).  Any covariance-structure policy; see the module docstring
+    for scope.
     """
     n, _, T, _ = Y.shape
+    if n % num_blocks != 0:
+        raise ValueError(f"num_blocks={num_blocks} must divide n={n}")
     d = 2 + 2 * r
     f32 = jnp.float32
 
@@ -459,7 +514,7 @@ def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
 
     kernel = functools.partial(_fused_fit_kernel, n=n, T=T, r=r,
                                patience=patience, corrected=corrected,
-                               structure=structure)
+                               structure=structure, num_blocks=num_blocks)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     Xm, Xc, eh, mh, stats = pl.pallas_call(
@@ -475,6 +530,12 @@ def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
             jax.ShapeDtypeStruct((buf_size, 1), f32),
             jax.ShapeDtypeStruct((1, 3), jnp.int32),
         ],
+        # The resident tensors + (n^2, T) diagnostics temporaries exceed
+        # the default 16 MB scoped-vmem limit near the top of the
+        # supported envelope; raise it (same trick as fused_smoother,
+        # proven on hardware) — fused_fit_supported bounds actual usage.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT_BYTES),
         interpret=interpret,
     )(iters, scal, pri, W0, W1, eta_a, eta_b, y0f, y0Tf, maskf, Xm0, Xc0)
 

@@ -669,13 +669,48 @@ class TestFusedFit:
         assert np.allclose(np.asarray(ref.X_mean), np.asarray(fz.X_mean),
                            atol=1e-4)
 
+    @pytest.mark.parametrize("num_blocks", [4, 12])
+    def test_block_mode_matches_unfused(self, num_blocks):
+        """The engine-default update_mode='block' runs in the kernel too:
+        sequential in-kernel phases must reproduce cavi_step_block."""
+        model, Y, init = self._setup(n=12, T=5)
+        kw = dict(structure="full", update_mode="block",
+                  num_blocks=num_blocks, max_iter=20, learning_rate=1.0,
+                  tolerance=1e-6)
+        ref = cavi.fit_cavi(Y, model.params, init, fused=False, **kw)
+        fz = cavi.fit_cavi(Y, model.params, init, fused=True, **kw)
+        eh_r = np.asarray(ref.elbo_history)[:20]
+        eh_f = np.asarray(fz.elbo_history)[:20]
+        assert np.nanmax(np.abs(eh_r - eh_f) / np.abs(eh_r)) < 1e-4
+        assert np.allclose(np.asarray(ref.X_mean), np.asarray(fz.X_mean),
+                           atol=1e-4)
+        assert np.allclose(np.asarray(ref.X_cov), np.asarray(fz.X_cov),
+                           atol=1e-4)
+        assert int(ref.n_iter) == int(fz.n_iter)
+
+    def test_default_engine_config_is_fused_supported(self):
+        """The README quick-start configuration (Good SMF, block updates,
+        demo scale) must be inside the megakernel envelope, so the default
+        TPU path hits the kernel (VERDICT r2).  n=15 -> num_blocks=15."""
+        from tame.ops import fused_fit as ff
+
+        assert ff.fused_fit_supported(
+            15, 10, 6, structure="full", update_mode="block",
+            diag_mode="exact", mixed_precision=False, elbo_every=1,
+            num_blocks=15)
+        # envelope reaches n ~ 100 at demo-scale T
+        assert ff.fused_fit_supported(
+            100, 10, 6, structure="full", update_mode="block",
+            diag_mode="exact", mixed_precision=False, elbo_every=1,
+            num_blocks=10)
+
     def test_unsupported_config_rejected(self):
         model, Y, init = self._setup(n=8, T=4)
         with pytest.raises(ValueError, match="fused=True requires"):
             cavi.fit_cavi(Y, model.params, init, diag_mode="stats",
                           fused=True)
         with pytest.raises(ValueError, match="fused=True requires"):
-            cavi.fit_cavi(Y, model.params, init, update_mode="block",
+            cavi.fit_cavi(Y, model.params, init, update_mode="seq",
                           fused=True)
 
     def test_auto_off_on_cpu(self):
