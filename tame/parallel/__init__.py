@@ -4,6 +4,7 @@ from tame.parallel.distributed import (
     global_mesh,
     initialize_distributed,
     measure_scaling_efficiency,
+    measure_weak_scaling,
 )
 from tame.parallel.mesh import (
     auto_mesh,
@@ -22,6 +23,7 @@ __all__ = [
     "global_mesh",
     "initialize_distributed",
     "measure_scaling_efficiency",
+    "measure_weak_scaling",
     "cov_sharding",
     "make_mesh",
     "obs_sharding",

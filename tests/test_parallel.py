@@ -238,3 +238,60 @@ class TestDistributedHelpers:
         assert set(results) == {1, 2}
         assert results[1]["efficiency"] == 1.0
         assert results[2]["wall_s"] > 0
+
+    @requires_8
+    def test_measure_weak_scaling(self):
+        from tame.models import sample
+        from tame.parallel import measure_weak_scaling
+
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1, seed=2)
+        params = model.params
+
+        def problem_fn(count):
+            n = 8 * count
+            Y, _ = sample(params, jax.random.PRNGKey(count), n, 4)
+            init = cavi.init_state(jax.random.PRNGKey(0), n, 4, 4,
+                                   "full", 0.1, 0.5)
+            return Y, init
+
+        def fit_fn(Y_s, init_s, mesh):
+            out = cavi.fit_cavi(Y_s, params, init_s, structure="full",
+                                max_iter=5, learning_rate=0.5)
+            jax.block_until_ready(out)
+
+        results = measure_weak_scaling(problem_fn, fit_fn, [1, 2])
+        assert results[1]["efficiency"] == 1.0
+        assert results[2]["wall_s"] > 0
+
+
+@requires_8
+class TestCommAnalysis:
+    """Compiled-HLO communication profile of the sharded fit — the
+    evidence behind SCALING.md's multi-host efficiency argument."""
+
+    def test_profile_invariants(self):
+        from tame.parallel.comm_analysis import analyze_sharded_fit
+
+        prof = analyze_sharded_fit(64, 8, 2, nodes=4, time_axis=2,
+                                   num_blocks=8)
+        assert prof["collective_bytes"] > 0
+        assert prof["flops"] > 0
+        halo = prof["collectives"].get(
+            "collective-permute", {"bytes": 0})["bytes"]
+        gathers = prof["collectives"].get(
+            "all-gather", {"bytes": 0})["bytes"]
+        # The time-axis halo (cross-host/DCN traffic in the multi-host
+        # layout) is far below the node-axis mean gathers (intra-host).
+        assert halo > 0 and gathers > 0
+        assert halo * 10 < gathers
+        # Invariant of the sufficient-statistics design: cross-shard
+        # traffic carries latent MEANS, never observation-sized tensors.
+        obs_bytes = 64 * 64 * 8 * 2 * 4
+        assert prof["collective_bytes"] < obs_bytes
+
+    def test_nodes_only_mesh_has_no_halo(self):
+        from tame.parallel.comm_analysis import analyze_sharded_fit
+
+        prof = analyze_sharded_fit(32, 4, 1, nodes=8, time_axis=1,
+                                   num_blocks=8)
+        assert "collective-permute" not in prof["collectives"]
