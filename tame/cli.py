@@ -79,8 +79,14 @@ def _cmd_fit(args) -> int:
     if args.checkpoint and not hasattr(vi, "save_checkpoint"):
         print("Checkpointing is not supported for this engine.")
         return 1
+    fit_kw = {}
+    if args.checkpoint_every:
+        fit_kw.update(checkpoint_every=args.checkpoint_every,
+                      ckpt_dir=args.checkpoint)
+    if args.resume:
+        fit_kw.update(ckpt_dir=args.checkpoint, resume=True)
     history = vi.fit(max_iter=args.max_iter, tolerance=args.tolerance,
-                     verbose=True, check_every=args.check_every)
+                     verbose=True, check_every=args.check_every, **fit_kw)
     print_diagnostic_summary(args.method, history, X_true=X_true,
                              X_est=vi.X_mean, latent_dim=args.latent_dim)
     if args.checkpoint:
@@ -185,6 +191,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["block", "jacobi", "seq"], default="block")
     p.add_argument("--checkpoint", default=None,
                    help="directory to write a checkpoint to")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="checkpoint + print progress every K iterations "
+                        "during the fit (requires --checkpoint)")
+    p.add_argument("--resume", action="store_true",
+                   help="restore --checkpoint before fitting; --max-iter "
+                        "is the total budget")
     p.set_defaults(fn=_cmd_fit)
 
     p = sub.add_parser("three-way", help="Naive vs Good vs Bad comparison")

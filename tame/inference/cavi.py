@@ -772,6 +772,11 @@ class FitResult(NamedTuple):
     n_iter: Array        # scalar int
     converged: Array     # scalar bool
     diverged: Array      # scalar bool: ELBO went non-finite; fit halted
+    # Convergence carry at exit — feed back as carry_elbo/carry_patience
+    # of a follow-up fit_cavi call to continue a fit in segments with
+    # BITWISE-identical stopping behavior (in-fit checkpointing).
+    last_elbo: Array = jnp.nan     # scalar: last evaluated ELBO
+    pat_count: Array = 0           # scalar int: consecutive small-change count
 
 
 def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
@@ -780,8 +785,8 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
              patience: int = 3, num_blocks=None,
              corrected: bool = False, elbo_every: int = 1,
              mixed_precision: bool = False,
-             diag_mode: str = "exact", fused: bool | str = "auto"
-             ) -> FitResult:
+             diag_mode: str = "exact", fused: bool | str = "auto",
+             carry_elbo=None, carry_patience=0) -> FitResult:
     """Run damped CAVI to convergence inside a single compiled loop.
 
     Convergence rule mirrors the reference trainer (``base.py:170-203``):
@@ -828,6 +833,13 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     difference is that the kernel always runs ``max_iter`` internal
     iterations, freezing state/histories after convergence instead of
     exiting early.  ``TAME_DISABLE_FUSED_FIT=1`` disables globally.
+
+    ``carry_elbo``/``carry_patience`` seed the convergence bookkeeping
+    (last evaluated ELBO and consecutive-small-change count) from a prior
+    segment's ``FitResult.last_elbo``/``.pat_count``, so a fit run in
+    ``checkpoint_every``-sized segments (engine in-fit checkpointing)
+    stops at EXACTLY the same iteration as the uninterrupted fit.  The
+    defaults reproduce a fresh start.
 
     ``diag_mode`` selects how the per-iteration ELBO/MSE are computed:
     ``"exact"`` evaluates the dyadic residuals directly (one O(n^2 T)
@@ -892,6 +904,9 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                 init.X_mean, init.X_cov,
                 jnp.asarray(max_iter), jnp.asarray(learning_rate, Y.dtype),
                 jnp.asarray(tolerance, Y.dtype),
+                jnp.asarray(-jnp.inf if carry_elbo is None else carry_elbo,
+                            jnp.float32),
+                jnp.asarray(carry_patience, jnp.int32),
                 r=(d_ - 2) // 2, buf_size=buf, patience=patience,
                 corrected=corrected, structure=structure,
                 num_blocks=(num_blocks if update_mode == "block" else 1),
@@ -900,7 +915,9 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                              elbo_history=out.elbo_history,
                              mse_history=out.mse_history,
                              n_iter=out.n_iter, converged=out.converged,
-                             diverged=out.diverged)
+                             diverged=out.diverged,
+                             last_elbo=out.last_elbo,
+                             pat_count=out.pat_count)
     # Evaluated OUTSIDE jit so toggling the env var between calls is not
     # silently baked into a cached trace (cf. the `fused` gate above).
     dual_diag = (diag_mode == "stats" and mixed_precision
@@ -908,6 +925,9 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     return _fit_cavi_impl(Y, params, init, jnp.asarray(max_iter),
                           jnp.asarray(learning_rate, Y.dtype),
                           jnp.asarray(tolerance, Y.dtype),
+                          jnp.asarray(-jnp.inf if carry_elbo is None
+                                      else carry_elbo, Y.dtype),
+                          jnp.asarray(carry_patience),
                           structure=structure, update_mode=update_mode,
                           buf_size=buf, patience=patience,
                           num_blocks=num_blocks, corrected=corrected,
@@ -924,6 +944,7 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                                              "diag_mode", "dual_diag"))
 def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
                    max_iter: Array, learning_rate: Array, tolerance: Array,
+                   carry_elbo: Array, carry_patience: Array,
                    *, structure: str, update_mode: str, buf_size: int,
                    patience: int, num_blocks, corrected: bool,
                    elbo_every: int, mixed_precision: bool,
@@ -992,7 +1013,11 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
         eh = jnp.where(is_eval, eh.at[it].set(elbo), eh)
         mh = jnp.where(is_eval, mh.at[it].set(mse), mh)
         rel = jnp.abs(elbo - prev_elbo) / (jnp.abs(prev_elbo) + 1e-8)
-        small = jnp.logical_and(jnp.logical_and(it > 0, is_eval), rel < tol)
+        # A finite prev_elbo (fresh: -inf; segmented fits: the carry) is
+        # the "have a previous evaluation" signal, so a continued segment
+        # checks convergence from its very first iteration.
+        small = jnp.logical_and(
+            jnp.logical_and(jnp.isfinite(prev_elbo), is_eval), rel < tol)
         pat = jnp.where(is_eval, jnp.where(small, pat + 1, 0), pat)
         conv = pat >= patience
         # Failure detection: a non-finite ELBO means the update blew up
@@ -1002,11 +1027,12 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
         return state, it + 1, prev_elbo, pat, conv, div, eh, mh
 
     nanbuf = jnp.full((buf_size,), jnp.nan, Y.dtype)
-    carry = (init, jnp.asarray(0), jnp.asarray(-jnp.inf, Y.dtype),
-             jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
+    carry = (init, jnp.asarray(0), carry_elbo.astype(Y.dtype),
+             carry_patience, jnp.asarray(False), jnp.asarray(False),
              nanbuf, nanbuf)
-    state, it, _, _, conv, div, eh, mh = jax.lax.while_loop(cond, body,
-                                                            carry)
+    state, it, last, pat, conv, div, eh, mh = jax.lax.while_loop(
+        cond, body, carry)
     return FitResult(X_mean=state.X_mean, X_cov=state.X_cov,
                      elbo_history=eh, mse_history=mh, n_iter=it,
-                     converged=conv, diverged=div)
+                     converged=conv, diverged=div,
+                     last_elbo=last, pat_count=pat)

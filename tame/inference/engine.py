@@ -74,6 +74,10 @@ class TemporalAMECaviVI:
 
         self.history: Dict[str, List[float]] = {
             "elbo": [], "reconstruction_error": []}
+        # Convergence carry (last evaluated ELBO + consecutive
+        # small-change count) for segmented/resumed fits.
+        self._carry_elbo: Optional[float] = None
+        self._carry_pat: int = 0
 
         state = cavi.init_state(
             jax.random.PRNGKey(seed), self.n, self.T, self.d,
@@ -105,44 +109,110 @@ class TemporalAMECaviVI:
 
     # ------------------------------------------------------------------
     def fit(self, max_iter: int = 100, tolerance: float = 1e-4,
-            verbose: bool = True, check_every: int = 10
+            verbose: bool = True, check_every: int = 10,
+            checkpoint_every: Optional[int] = None,
+            ckpt_dir=None, resume: bool = False
             ) -> Dict[str, List[float]]:
         """Run CAVI to convergence (reference trainer semantics,
-        ``base.py:127-208``)."""
+        ``base.py:127-208``).
+
+        ``checkpoint_every=k`` runs the compiled loop in k-iteration
+        segments (warm jit cache — one compile total): after each segment
+        the fit state is checkpointed to ``ckpt_dir`` (if given) through
+        the native store and a progress line is printed, giving long fits
+        both restartability and liveness — capabilities the reference
+        lacks (its state lives in memory and prints come from the same
+        Python loop that computes, ``base.py:231-250``).  The convergence
+        carry (last ELBO + patience count) threads through segments, so a
+        segmented fit stops at EXACTLY the same iteration as a single
+        ``fit_cavi`` call.
+
+        ``resume=True`` restores ``ckpt_dir`` before fitting (if it
+        exists) and treats ``max_iter`` as the TOTAL budget including
+        already-completed iterations — a killed run rerun with the same
+        arguments reproduces the uninterrupted fit bitwise.
+        """
         if verbose:
             print(f"Starting {self.__class__.__name__} optimization...")
             print("=" * 60)
 
-        result = cavi.fit_cavi(
-            self.Y, self.params,
-            cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
-            structure=self.structure, update_mode=self.update_mode,
-            max_iter=max_iter, learning_rate=self.lr, tolerance=tolerance,
-            num_blocks=self.num_blocks, corrected=self.corrected,
-            mixed_precision=self.mixed_precision, diag_mode=self.diag_mode)
-        result = jax.block_until_ready(result)
+        if resume:
+            if ckpt_dir is None:
+                raise ValueError("resume=True requires ckpt_dir")
+            import os
 
-        self.X_mean = result.X_mean
-        self.X_cov = result.X_cov
-        n_iter = int(result.n_iter)
-        elbo_hist = np.asarray(result.elbo_history)[:n_iter]
-        mse_hist = np.asarray(result.mse_history)[:n_iter]
-        self.history["elbo"].extend(float(v) for v in elbo_hist)
-        self.history["reconstruction_error"].extend(float(v) for v in mse_hist)
-        self._converged = bool(result.converged)
-        self._diverged = bool(result.diverged)
+            if os.path.exists(os.fspath(ckpt_dir)):
+                self.load_checkpoint(ckpt_dir)
+
+        done = len(self.history["elbo"])
+        budget = max_iter - done if resume else max_iter
+        if budget <= 0:
+            return self.history
+        segment = checkpoint_every or budget
+
+        # Convergence carry: fresh fits start clean; resumed fits pick up
+        # the persisted carry so the stopping decision is unchanged.
+        if not (resume and done > 0):
+            self._carry_elbo = None
+            self._carry_pat = 0
+        self._converged = False
+        self._diverged = False
+        seg_start = done
+        while budget > 0 and not (self._converged or self._diverged):
+            seg = min(segment, budget)
+            result = cavi.fit_cavi(
+                self.Y, self.params,
+                cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
+                structure=self.structure, update_mode=self.update_mode,
+                max_iter=seg, learning_rate=self.lr, tolerance=tolerance,
+                num_blocks=self.num_blocks, corrected=self.corrected,
+                mixed_precision=self.mixed_precision,
+                diag_mode=self.diag_mode,
+                carry_elbo=self._carry_elbo, carry_patience=self._carry_pat)
+            result = jax.block_until_ready(result)
+
+            self.X_mean = result.X_mean
+            self.X_cov = result.X_cov
+            n_iter = int(result.n_iter)
+            elbo_hist = np.asarray(result.elbo_history)[:n_iter]
+            mse_hist = np.asarray(result.mse_history)[:n_iter]
+            self.history["elbo"].extend(float(v) for v in elbo_hist)
+            self.history["reconstruction_error"].extend(
+                float(v) for v in mse_hist)
+            self._converged = bool(result.converged)
+            self._diverged = bool(result.diverged)
+            self._carry_elbo = float(result.last_elbo)
+            self._carry_pat = int(result.pat_count)
+            budget -= n_iter
+
+            if checkpoint_every:
+                if ckpt_dir is not None:
+                    self.save_checkpoint(ckpt_dir)
+                if verbose:
+                    total = len(self.history["elbo"])
+                    print(f"Iter {total - 1:4d} | "
+                          f"ELBO: {elbo_hist[-1]:10.2f} | "
+                          f"MSE: {mse_hist[-1]:.6f}"
+                          + (" | checkpointed" if ckpt_dir else ""),
+                          flush=True)
+
+        n_total = len(self.history["elbo"])
         if self._diverged:
             print(f"WARNING: {self.__class__.__name__} halted at iteration "
-                  f"{n_iter - 1}: ELBO became non-finite (try a smaller "
+                  f"{n_total - 1}: ELBO became non-finite (try a smaller "
                   "learning_rate or update_mode='block').")
 
         if verbose:
-            for it in range(n_iter):
-                if it % check_every == 0 or it == n_iter - 1:
-                    print(f"Iter {it:4d} | ELBO: {elbo_hist[it]:10.2f} | "
-                          f"MSE: {mse_hist[it]:.6f}")
+            eh = self.history["elbo"]
+            mh = self.history["reconstruction_error"]
+            if not checkpoint_every:
+                for it in range(seg_start, n_total):
+                    if (it - seg_start) % check_every == 0 \
+                            or it == n_total - 1:
+                        print(f"Iter {it:4d} | ELBO: {eh[it]:10.2f} | "
+                              f"MSE: {mh[it]:.6f}")
             if self._converged:
-                print(f"\nConverged at iteration {n_iter - 1}")
+                print(f"\nConverged at iteration {n_total - 1}")
             else:
                 print("\nReached maximum iterations without convergence")
         return self.history
@@ -177,6 +247,8 @@ class TemporalAMECaviVI:
             "structure": self.structure,
             "learning_rate": self.lr,
             "seed": self.seed,
+            "carry_elbo": self._carry_elbo,
+            "carry_pat": self._carry_pat,
         })
 
     def load_checkpoint(self, ckpt_dir) -> None:
@@ -197,6 +269,8 @@ class TemporalAMECaviVI:
             "reconstruction_error": list(np.asarray(
                 state["history"]["reconstruction_error"]).tolist()),
         }
+        self._carry_elbo = state.get("carry_elbo")
+        self._carry_pat = int(state.get("carry_pat", 0))
 
     def predict_forward(self, n_steps: int = 1) -> Array:
         """AR(1) forward forecast from the last state means

@@ -244,7 +244,27 @@ class TemporalAMEHMC:
             run_hmc, self._logdensity,
             num_warmup=num_warmup, num_samples=num_samples,
             num_leapfrog=self.num_leapfrog, inv_mass=inv_mass, thin=thin)
-        return jax.vmap(lambda pos, k: run(pos, k))(inits, keys)
+        out = jax.vmap(lambda pos, k: run(pos, k))(inits, keys)
+        self.last_diagnostics = _summarize_chains(out)
+        return out
+
+    def diagnostics(self):
+        """Convergence report of the most recent :meth:`sample` call:
+        max split-R-hat, min/median ESS, log-density R-hat (see
+        :func:`tame.utils.diagnostics.chain_diagnostics`)."""
+        if not getattr(self, "last_diagnostics", None):
+            raise RuntimeError("call sample() first")
+        return self.last_diagnostics
+
+
+def _summarize_chains(out):
+    """Cross-chain convergence summary for a sampler output (None when
+    there are too few chains/draws to estimate R-hat)."""
+    from tame.utils.diagnostics import chain_diagnostics
+
+    if out.positions.shape[0] < 2 or out.positions.shape[1] < 4:
+        return None
+    return chain_diagnostics(out.positions, out.logdensities)
 
 
 def _shard_chains(mesh, inits, keys):

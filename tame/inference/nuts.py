@@ -338,4 +338,15 @@ class TemporalAMENUTS:
             run_nuts, self._logdensity, num_warmup=num_warmup,
             num_samples=num_samples, max_depth=self.max_depth,
             inv_mass=inv_mass)
-        return jax.vmap(lambda p, k: run(p, k))(inits, keys)
+        out = jax.vmap(lambda p, k: run(p, k))(inits, keys)
+        from tame.inference.hmc import _summarize_chains
+
+        self.last_diagnostics = _summarize_chains(out)
+        return out
+
+    def diagnostics(self):
+        """Convergence report of the most recent :meth:`sample` call
+        (see :meth:`TemporalAMEHMC.diagnostics`)."""
+        if not getattr(self, "last_diagnostics", None):
+            raise RuntimeError("call sample() first")
+        return self.last_diagnostics

@@ -60,7 +60,7 @@ convergence rule ``base.py:170-203``.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -175,6 +175,7 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
     bs = n // num_blocks
 
     max_iter = iters_ref[0, 0]
+    carry_pat0 = iters_ref[0, 1]
     lr0 = scal_ref[0, 0]
     tol = scal_ref[0, 1]
     p = scal_ref[0, 2]
@@ -182,6 +183,7 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
     ldR = scal_ref[0, 4]
     ldS0 = scal_ref[0, 5]
     ldQ = scal_ref[0, 6]
+    carry_elbo0 = scal_ref[0, 7]
 
     # pri_ref packs (5, d, d): Sigma0_inv, Q_inv, Qinv_Phi, Phi'Q^-1 Phi, Phi
     def S0inv(i, j):
@@ -436,7 +438,10 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
         eh_ref[pl.ds(it, 1), :] = jnp.where(running, elbo, nan)[None, None]
         mh_ref[pl.ds(it, 1), :] = jnp.where(running, mse, nan)[None, None]
         rel = jnp.abs(elbo - prev_elbo) / (jnp.abs(prev_elbo) + 1e-8)
-        small = jnp.logical_and(it > 0, rel < tol)
+        # finite prev_elbo == "have a previous evaluation" (fresh fits
+        # start from -inf; segmented fits from the carry) — matches
+        # cavi._fit_cavi_impl for bitwise segment continuity.
+        small = jnp.logical_and(jnp.isfinite(prev_elbo), rel < tol)
         pat_new = jnp.where(small, pat + 1, 0)
         conv_new = pat_new >= patience
         div_new = jnp.logical_not(jnp.isfinite(elbo))
@@ -446,12 +451,15 @@ def _fused_fit_kernel(iters_ref, scal_ref, pri_ref,
                 jnp.logical_or(div, jnp.logical_and(running, div_new)),
                 n_done + running.astype(jnp.int32))
 
-    init = (jnp.float32(-jnp.inf), jnp.int32(0),
+    init = (carry_elbo0, carry_pat0,
             jnp.bool_(False), jnp.bool_(False), jnp.int32(0))
-    _, _, conv, div, n_done = jax.lax.fori_loop(0, max_iter, body, init)
-    stats_ref[0, 0] = n_done
-    stats_ref[0, 1] = conv.astype(jnp.int32)
-    stats_ref[0, 2] = div.astype(jnp.int32)
+    last, pat, conv, div, n_done = jax.lax.fori_loop(0, max_iter, body,
+                                                     init)
+    stats_ref[0, 0] = n_done.astype(f32)
+    stats_ref[0, 1] = conv.astype(f32)
+    stats_ref[0, 2] = div.astype(f32)
+    stats_ref[0, 3] = pat.astype(f32)
+    stats_ref[0, 4] = last
 
 
 class FusedFitOut(NamedTuple):
@@ -462,6 +470,8 @@ class FusedFitOut(NamedTuple):
     n_iter: Array
     converged: Array
     diverged: Array
+    last_elbo: Array     # convergence carry (segmented fits)
+    pat_count: Array
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -469,7 +479,9 @@ class FusedFitOut(NamedTuple):
     "interpret"))
 def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
               X_mean0: Array, X_cov0: Array, max_iter: Array,
-              learning_rate: Array, tolerance: Array, *, r: int,
+              learning_rate: Array, tolerance: Array,
+              carry_elbo: Optional[Array] = None,
+              carry_pat: Optional[Array] = None, *, r: int,
               buf_size: int, patience: int = 3, corrected: bool = False,
               structure: str = "full", num_blocks: int = 1,
               interpret: bool = False) -> FusedFitOut:
@@ -485,6 +497,10 @@ def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
     n, _, T, _ = Y.shape
     if n % num_blocks != 0:
         raise ValueError(f"num_blocks={num_blocks} must divide n={n}")
+    if carry_elbo is None:
+        carry_elbo = -jnp.inf
+    if carry_pat is None:
+        carry_pat = 0
     d = 2 + 2 * r
     f32 = jnp.float32
 
@@ -505,8 +521,10 @@ def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
     scal = jnp.stack([learning_rate.astype(f32), tolerance.astype(f32),
                       p, q, jnp.linalg.slogdet(R_inv)[1] * -1.0,
                       jnp.linalg.slogdet(Sigma0)[1],
-                      jnp.linalg.slogdet(Q)[1]])[None, :]
-    iters = jnp.asarray(max_iter, jnp.int32)[None, None]
+                      jnp.linalg.slogdet(Q)[1],
+                      jnp.asarray(carry_elbo, f32)])[None, :]
+    iters = jnp.stack([jnp.asarray(max_iter, jnp.int32),
+                       jnp.asarray(carry_pat, jnp.int32)])[None, :]
 
     Xm0 = jnp.moveaxis(X_mean0.astype(f32), -1, 0)          # (d, n, T)
     Xc0 = jnp.moveaxis(X_cov0.astype(f32), (-2, -1), (1, 0))
@@ -528,7 +546,7 @@ def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
             jax.ShapeDtypeStruct((d, d, n, T), f32),
             jax.ShapeDtypeStruct((buf_size, 1), f32),
             jax.ShapeDtypeStruct((buf_size, 1), f32),
-            jax.ShapeDtypeStruct((1, 3), jnp.int32),
+            jax.ShapeDtypeStruct((1, 5), f32),
         ],
         # The resident tensors + (n^2, T) diagnostics temporaries exceed
         # the default 16 MB scoped-vmem limit near the top of the
@@ -544,7 +562,9 @@ def fused_fit(Y: Array, R_inv: Array, Sigma0: Array, Q: Array, Phi: Array,
         X_cov=jnp.moveaxis(Xc, (0, 1), (-2, -1)),
         elbo_history=eh[:, 0],
         mse_history=mh[:, 0],
-        n_iter=stats[0, 0],
+        n_iter=stats[0, 0].astype(jnp.int32),
         converged=stats[0, 1].astype(bool),
         diverged=stats[0, 2].astype(bool),
+        last_elbo=stats[0, 4],
+        pat_count=stats[0, 3].astype(jnp.int32),
     )

@@ -115,7 +115,7 @@ def analyze_sharded_fit(n: int, T: int, r: int, *, nodes: int = 1,
     int_scalar = jax.ShapeDtypeStruct((), jnp.int32, sharding=rep)
 
     lowered = cavi._fit_cavi_impl.lower(
-        Y, params, init, int_scalar, scalar, scalar,
+        Y, params, init, int_scalar, scalar, scalar, scalar, int_scalar,
         structure=structure, update_mode=update_mode, buf_size=64,
         patience=3, num_blocks=num_blocks, corrected=False,
         elbo_every=1, mixed_precision=False, diag_mode=diag_mode,

@@ -14,6 +14,7 @@ from tame.utils.alignment import (
     procrustes_alignment,
 )
 from tame.utils.diagnostics import (
+    chain_diagnostics,
     compare_methods,
     compute_additive_contribution,
     compute_contribution_ratio,
@@ -23,7 +24,9 @@ from tame.utils.diagnostics import (
     compute_state_prediction_error,
     compute_temporal_contributions,
     compute_uv_product_correlation,
+    effective_sample_size,
     print_diagnostic_summary,
+    split_rhat,
     track_convergence,
 )
 from tame.utils.metrics import (
@@ -53,6 +56,10 @@ __all__ = [
     "track_convergence",
     "compute_elbo_gap",
     "compute_uv_product_correlation",
+    # MCMC chain diagnostics (new surface; reference has no sampler)
+    "split_rhat",
+    "effective_sample_size",
+    "chain_diagnostics",
     # Alignment
     "procrustes_alignment",
     "align_signs",

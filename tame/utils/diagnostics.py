@@ -216,6 +216,100 @@ def compute_elbo_gap(elbo_history: List[float],
     return true_log_likelihood - elbo_history[-1]
 
 
+# ---------------------------------------------------------------------------
+# MCMC chain diagnostics (new TPU-native surface: the reference has no
+# sampler, so no counterpart exists — VI-side convergence tracking above is
+# its closest analog, reference ``diagnostics.py:446-492``)
+# ---------------------------------------------------------------------------
+
+def split_rhat(samples: Array) -> Array:
+    """Split-chain potential-scale-reduction R-hat (Gelman et al. 2013).
+
+    ``samples``: (chains, draws, ...); each chain is split in half (guards
+    against within-chain trends), giving 2C sequences.  Returns per-
+    parameter R-hat with shape ``samples.shape[2:]``; values near 1
+    indicate mixing, > 1.05 is the conventional failure threshold.
+    """
+    x = jnp.asarray(samples)
+    C, N = x.shape[:2]
+    half = N // 2
+    if half < 2:
+        raise ValueError("split_rhat needs at least 4 draws per chain")
+    x = jnp.concatenate([x[:, :half], x[:, half:2 * half]], axis=0)
+    n = half
+    chain_mean = x.mean(axis=1)                      # (2C, ...)
+    chain_var = x.var(axis=1, ddof=1)
+    W = chain_var.mean(axis=0)
+    B = n * chain_mean.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * W + B / n
+    return jnp.sqrt(var_plus / jnp.maximum(W, 1e-12))
+
+
+def effective_sample_size(samples: Array) -> Array:
+    """Per-parameter multi-chain effective sample size.
+
+    ``samples``: (chains, draws, ...).  Uses FFT autocovariances, the
+    Vehtari et al. (2021) combined-chain correlation estimate
+    ``rho_t = 1 - (W - mean_t) / var_plus`` and Geyer's initial positive
+    sequence truncation (stop at the first negative even-odd pair sum).
+    Returns shape ``samples.shape[2:]``; host-side numpy (diagnostics are
+    not hot-path work).
+    """
+    x = np.asarray(samples, dtype=np.float64)
+    C, N = x.shape[:2]
+    P_shape = x.shape[2:]
+    flat = x.reshape(C, N, -1)
+    P = flat.shape[-1]
+
+    centered = flat - flat.mean(axis=1, keepdims=True)
+    nfft = 1
+    while nfft < 2 * N:
+        nfft *= 2
+    f = np.fft.rfft(centered, n=nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=1)[:, :N].real / N
+    acov_mean = acov.mean(axis=0)                    # (N, P)
+
+    chain_var = flat.var(axis=1, ddof=1)             # (C, P)
+    W = chain_var.mean(axis=0)
+    B = N * flat.mean(axis=1).var(axis=0, ddof=1) if C > 1 \
+        else np.zeros(P)
+    var_plus = (N - 1) / N * W + B / N
+    var_plus = np.maximum(var_plus, 1e-12)
+
+    rho = 1.0 - (W[None] - acov_mean) / var_plus[None]   # (N, P)
+    # Geyer initial positive sequence on pair sums rho_{2t} + rho_{2t+1}
+    n_pairs = (N - 1) // 2
+    ess = np.empty(P)
+    for p in range(P):
+        tau = 1.0
+        for t in range(n_pairs):
+            pair = rho[2 * t + 1, p] + rho[2 * t + 2, p]
+            if pair < 0:
+                break
+            tau += 2.0 * pair
+        ess[p] = C * N / max(tau, 1e-12)
+    return jnp.asarray(ess.reshape(P_shape))
+
+
+def chain_diagnostics(positions: Array,
+                      logdensities: Optional[Array] = None
+                      ) -> Dict[str, float]:
+    """Summary convergence report for a (chains, draws, ...) sample stack:
+    max split-R-hat, min/median per-parameter ESS, and (when per-draw log
+    densities are given) the R-hat of the log density — the single most
+    sensitive scalar.  Feed ``TemporalAMEHMC/NUTS.sample`` outputs."""
+    rhat = split_rhat(positions)
+    ess = effective_sample_size(positions)
+    out = {
+        "max_rhat": float(jnp.max(rhat)),
+        "min_ess": float(jnp.min(ess)),
+        "median_ess": float(jnp.median(ess)),
+    }
+    if logdensities is not None:
+        out["logdensity_rhat"] = float(jnp.max(split_rhat(logdensities)))
+    return out
+
+
 def compute_uv_product_correlation(M_est: Array, M_true: Array,
                                    latent_dim: int) -> float:
     """Correlation of the *identified* quantity U'V between estimate and

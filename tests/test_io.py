@@ -112,6 +112,89 @@ class TestEngineResume:
         assert len(vi2.history["elbo"]) == 10
         assert vi2.history["elbo"][-1] >= vi2.history["elbo"][4] - 1.0
 
+    def test_segmented_fit_bitwise_equals_single_shot(self, temporal_data,
+                                                      tmp_path):
+        """In-fit periodic checkpointing must not perturb the fit: a
+        checkpoint_every=7 run is bitwise identical (state, history,
+        stopping iteration) to one uninterrupted call."""
+        from tame.inference import TemporalAMEStructuredMFVI
+
+        ref = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                        factorization="good",
+                                        learning_rate=0.7)
+        ref.fit(max_iter=40, tolerance=1e-3, verbose=False)
+
+        seg = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                        factorization="good",
+                                        learning_rate=0.7)
+        seg.fit(max_iter=40, tolerance=1e-3, verbose=False,
+                checkpoint_every=7, ckpt_dir=tmp_path / "seg")
+        assert (tmp_path / "seg").exists()
+
+        assert len(seg.history["elbo"]) == len(ref.history["elbo"])
+        assert seg.history["elbo"] == ref.history["elbo"]
+        assert np.array_equal(np.asarray(seg.X_mean),
+                              np.asarray(ref.X_mean))
+        assert np.array_equal(np.asarray(seg.X_cov),
+                              np.asarray(ref.X_cov))
+        assert seg._converged == ref._converged
+
+    def test_kill_and_resume_bitwise(self, temporal_data, tmp_path):
+        """A fit killed mid-way and resumed from its checkpoint reproduces
+        the uninterrupted fit bitwise (total budget semantics)."""
+        from tame.inference import TemporalAMEStructuredMFVI
+
+        ref = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                        factorization="good",
+                                        learning_rate=0.7)
+        ref.fit(max_iter=20, tolerance=0.0, verbose=False)
+
+        # "killed" after 10 iterations (2 checkpointed segments of 5)
+        a = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                      factorization="good",
+                                      learning_rate=0.7)
+        a.fit(max_iter=10, tolerance=0.0, verbose=False,
+              checkpoint_every=5, ckpt_dir=tmp_path / "ck")
+
+        # fresh process: new engine, resume from the checkpoint
+        b = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                      factorization="good",
+                                      learning_rate=0.7)
+        b.fit(max_iter=20, tolerance=0.0, verbose=False,
+              checkpoint_every=5, ckpt_dir=tmp_path / "ck", resume=True)
+
+        assert len(b.history["elbo"]) == 20
+        assert b.history["elbo"] == ref.history["elbo"]
+        assert np.array_equal(np.asarray(b.X_mean), np.asarray(ref.X_mean))
+
+        # a no-op resume (budget already spent) leaves everything alone
+        c = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                      factorization="good",
+                                      learning_rate=0.7)
+        c.fit(max_iter=20, tolerance=0.0, verbose=False,
+              ckpt_dir=tmp_path / "ck", resume=True)
+        assert c.history["elbo"] == ref.history["elbo"]
+
+    def test_segmented_smoothed_checkpoint(self, temporal_data, tmp_path):
+        """The smoothed engine checkpoints and restores its full state
+        (means, marginal + cross covariances, logdets)."""
+        from tame.inference import TemporalAMESmoothedVI
+
+        vi = TemporalAMESmoothedVI(temporal_data["model"],
+                                   learning_rate=0.8)
+        vi.fit(max_iter=5, verbose=False)
+        vi.save_checkpoint(tmp_path / "sm")
+
+        vi2 = TemporalAMESmoothedVI(temporal_data["model"],
+                                    learning_rate=0.8)
+        vi2.load_checkpoint(tmp_path / "sm")
+        assert np.allclose(np.asarray(vi2.X_mean), np.asarray(vi.X_mean))
+        assert np.allclose(np.asarray(vi2.X_cross),
+                           np.asarray(vi.X_cross))
+        assert vi2.history["elbo"] == vi.history["elbo"]
+        vi2.fit(max_iter=3, verbose=False)
+        assert len(vi2.history["elbo"]) == 8
+
     def test_structure_mismatch_rejected(self, temporal_data, tmp_path):
         from tame.inference import (
             TemporalAMENaiveMFVI,

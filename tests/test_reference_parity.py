@@ -45,7 +45,9 @@ def reference_run():
     for name, vi in [
             ("naive", RefNaive(model, learning_rate=0.7, seed=0)),
             ("good", RefSMF(model, factorization="good",
-                            learning_rate=0.7, seed=0))]:
+                            learning_rate=0.7, seed=0)),
+            ("bad", RefSMF(model, factorization="bad",
+                           learning_rate=0.3, seed=0))]:
         history = vi.fit(max_iter=80, tolerance=1e-9, verbose=False)
         results[name] = {
             "mse": history["reconstruction_error"][-1],
@@ -62,7 +64,7 @@ def reference_run():
     }
 
 
-def _fit_ours(ref, structure, update_mode="seq"):
+def _fit_ours(ref, structure, update_mode="seq", learning_rate=0.7):
     import jax.numpy as jnp
 
     from tame.inference import cavi
@@ -76,7 +78,7 @@ def _fit_ours(ref, structure, update_mode="seq"):
                            model.d, structure, 0.1, 0.5)
     out = cavi.fit_cavi(Y, model.params, init, structure=structure,
                         update_mode=update_mode, max_iter=80,
-                        learning_rate=0.7, tolerance=1e-9)
+                        learning_rate=learning_rate, tolerance=1e-9)
     ni = int(out.n_iter)
     return {
         "mse": float(np.asarray(out.mse_history)[ni - 1]),
@@ -86,22 +88,31 @@ def _fit_ours(ref, structure, update_mode="seq"):
     }
 
 
+_LR = {"naive": 0.7, "good": 0.7, "bad": 0.3}
+
+
 class TestFixedPointParity:
     @pytest.mark.parametrize("method,structure", [("naive", "diag"),
-                                                  ("good", "full")])
+                                                  ("good", "full"),
+                                                  ("bad", "block")])
     def test_converged_mse_matches(self, reference_run, method, structure):
         """On identical data, our converged reconstruction MSE must match
-        the reference's within a few percent (init randomness differs)."""
-        ours = _fit_ours(reference_run, structure)
+        the reference's within a few percent (init randomness differs).
+        Covers all three engines incl. the deliberately-wrong 'bad'
+        factorization (at a damping where its fixed point is stable)."""
+        ours = _fit_ours(reference_run, structure,
+                         learning_rate=_LR[method])
         ref_mse = reference_run["results"][method]["mse"]
         assert ours["mse"] == pytest.approx(ref_mse, rel=0.05), (
             f"{method}: ours {ours['mse']:.5f} vs reference {ref_mse:.5f}")
 
     @pytest.mark.parametrize("method,structure", [("naive", "diag"),
-                                                  ("good", "full")])
+                                                  ("good", "full"),
+                                                  ("bad", "block")])
     def test_converged_elbo_matches(self, reference_run, method, structure):
         """Same ELBO definition + same fixed point => matching values."""
-        ours = _fit_ours(reference_run, structure)
+        ours = _fit_ours(reference_run, structure,
+                         learning_rate=_LR[method])
         ref_elbo = reference_run["results"][method]["elbo"]
         assert ours["elbo"] == pytest.approx(ref_elbo, rel=0.03), (
             f"{method}: ours {ours['elbo']:.2f} vs reference {ref_elbo:.2f}")
@@ -131,3 +142,118 @@ class TestFixedPointParity:
                               axis1=-2, axis2=-1).mean()
         our_var = np.diagonal(ours["X_cov"], axis1=-2, axis2=-1).mean()
         assert our_var == pytest.approx(ref_var, rel=0.15)
+
+    @pytest.mark.parametrize("method,structure", [("good", "full"),
+                                                  ("bad", "block")])
+    def test_posterior_covariance_per_block(self, reference_run, method,
+                                            structure):
+        """Covariance parity per structural block, not one pooled mean:
+        additive (2x2), multiplicative (2r x 2r) and additive x
+        multiplicative cross blocks each compared on their mean absolute
+        entry.  Tolerance 25%: the factors' covariances depend on the
+        latent means only through O(r^2) sufficient statistics, so
+        init-seed differences perturb them at the same order as the mean
+        differences (~10-20% at this tiny config); a wrong assembly or
+        projection order would be off by x2 or more."""
+        ours = _fit_ours(reference_run, structure,
+                         learning_rate=_LR[method])
+        ref_cov = reference_run["results"][method]["X_cov"]
+        blocks = {"additive": (slice(0, 2), slice(0, 2)),
+                  "multiplicative": (slice(2, None), slice(2, None)),
+                  "cross": (slice(0, 2), slice(2, None))}
+        for name, (bi, bj) in blocks.items():
+            ref_b = np.abs(ref_cov[..., bi, bj]).mean()
+            our_b = np.abs(ours["X_cov"][..., bi, bj]).mean()
+            if name == "cross" and structure == "block":
+                # the 'bad' projection zeroes this block on both sides
+                assert ref_b < 1e-6 and our_b < 1e-6
+            else:
+                assert our_b == pytest.approx(ref_b, rel=0.25), (
+                    f"{method}/{name}: ours {our_b:.5f} "
+                    f"vs reference {ref_b:.5f}")
+
+
+class TestDemoConfigParity:
+    """Our engines on the reference's OWN demo-config data (n=15, T=10,
+    r=2, lr=0.7, 150 iters) against the measured reference rows in
+    BASELINE.md:31-33 — the acceptance anchors.  The reference model is
+    only used to *generate* Y (fast, reproducible: its constructor always
+    seeds torch with 42, SURVEY.md §2C-1); the expected numbers are the
+    recorded reference fits on exactly this data.
+
+    Tolerances: ELBO rel 3% and history-MSE rel 1% absorb the only
+    remaining difference — variational init randomness (measured: naive
+    1.1%/0.23%, good 0.54%/0.23%).  The reference's aligned-state MSE
+    (0.272) is an upper bound for ours because our Procrustes fixes the
+    reference's documented alignment bug (tame/utils/alignment.py:32-39).
+    """
+
+    BASELINE_ROWS = {  # BASELINE.md "Measured on the reference" lr=0.7
+        "naive": {"elbo": -2109.78, "mse": 0.472691, "aligned": 0.271986},
+        "good": {"elbo": -2091.79, "mse": 0.472831, "aligned": 0.270993},
+    }
+
+    @pytest.fixture(scope="class")
+    def demo_data(self):
+        sys.path.insert(0, str(REFERENCE))
+        from src.models import TemporalAMEModel as RefModel
+
+        model = RefModel(n_nodes=15, n_time=10, latent_dim=2,
+                         ar_coefficient=0.8, rho_dyadic=0.5, seed=42)
+        Y, X = model.generate_data(return_latents=True)
+        return {"Y": Y.numpy().copy(), "X_true": X.numpy().copy()}
+
+    def _fit(self, demo_data, structure):
+        import jax
+        import jax.numpy as jnp
+
+        from tame.inference import cavi
+        from tame.models import TemporalAMEModel
+
+        model = TemporalAMEModel(n_nodes=15, n_time=10, latent_dim=2,
+                                 ar_coefficient=0.8, rho_dyadic=0.5,
+                                 seed=42)
+        init = cavi.init_state(jax.random.PRNGKey(42), 15, 10, 6,
+                               structure, 0.1, 0.5)
+        out = cavi.fit_cavi(jnp.asarray(demo_data["Y"]), model.params,
+                            init, structure=structure, update_mode="seq",
+                            max_iter=150, learning_rate=0.7,
+                            tolerance=1e-9)
+        ni = int(out.n_iter)
+        return {
+            "n_iter": ni,
+            "elbo": float(np.asarray(out.elbo_history)[ni - 1]),
+            "mse": float(np.asarray(out.mse_history)[ni - 1]),
+            "X_mean": out.X_mean,
+        }
+
+    @pytest.mark.parametrize("method,structure", [("naive", "diag"),
+                                                  ("good", "full")])
+    def test_demo_config_matches_baseline(self, demo_data, method,
+                                          structure):
+        import jax.numpy as jnp
+
+        from tame.utils.alignment import align_temporal_states
+
+        ours = self._fit(demo_data, structure)
+        row = self.BASELINE_ROWS[method]
+        assert ours["n_iter"] == 150
+        assert ours["mse"] == pytest.approx(row["mse"], rel=0.01), (
+            f"{method}: MSE {ours['mse']:.6f} vs baseline {row['mse']}")
+        assert ours["elbo"] == pytest.approx(row["elbo"], rel=0.03), (
+            f"{method}: ELBO {ours['elbo']:.2f} vs baseline {row['elbo']}")
+        X_true = jnp.asarray(demo_data["X_true"])
+        aligned = align_temporal_states(ours["X_mean"], X_true,
+                                        latent_dim=2)
+        amse = float(jnp.mean((aligned - X_true) ** 2))
+        # fixed alignment => at least as good as the reference's score
+        assert 0.05 < amse < row["aligned"] * 1.05
+
+    def test_demo_config_bad_diverges_like_reference(self, demo_data):
+        """BASELINE.md:33: the 'bad' control blows up at lr=0.7 on the
+        demo config (reference final MSE 3.36, ELBO -23400); ours must
+        reproduce the blow-up on identical data (chaotic trajectory, so
+        scale — not exact values — is the invariant)."""
+        ours = self._fit(demo_data, "block")
+        assert ours["mse"] > 2.0
+        assert ours["elbo"] < -10000.0
