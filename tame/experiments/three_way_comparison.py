@@ -39,9 +39,17 @@ def run_three_way_comparison(
     seed: int = 42,
     save_outputs: bool = True,
     verbose: bool = True,
+    include_smoothed: bool = True,
 ):
     """Run the three-method comparison (reference
     ``three_way_conparison.py:56-318``).
+
+    ``include_smoothed=True`` (default) adds the joint-trajectory
+    smoothed engine (:class:`tame.inference.TemporalAMESmoothedVI`) as a
+    fourth method — a strictly tighter variational family with no
+    reference counterpart; all comparison plots/reports are
+    method-count-generic.  Pass ``False`` for the exact reference-shaped
+    three-method run.
 
     Returns ``(results, exp_dir)`` where ``results`` maps method name to the
     standard results dict plus ``X_aligned``.
@@ -71,6 +79,10 @@ def run_three_way_comparison(
         ("Good SMF", TemporalAMEStructuredMFVI, {"factorization": "good"}),
         ("Bad SMF", TemporalAMEStructuredMFVI, {"factorization": "bad"}),
     ]
+    if include_smoothed:
+        from tame.inference import TemporalAMESmoothedVI
+
+        methods.append(("Smoothed VI", TemporalAMESmoothedVI, {}))
     results = {}
     for name, cls, kwargs in methods:
         results[name] = run_method_with_timing(

@@ -182,9 +182,16 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     if fused == "auto":
+        # pallas_call is not GSPMD-partitioned: node-sharded inputs
+        # (tame.parallel.shard_smoothed_inputs) take the XLA vmap path.
+        try:
+            multi_device = len(Y.sharding.device_set) > 1
+        except Exception:
+            multi_device = False
         fused = (fused_smoother_supported(n, T, d)
                  and not os.environ.get("TAME_DISABLE_FUSED_FIT")
-                 and jax.default_backend() != "cpu")
+                 and jax.default_backend() != "cpu"
+                 and not multi_device)
     elif fused and not fused_smoother_supported(n, T, d):
         raise ValueError(f"fused smoother unsupported for n={n}, T={T}, "
                          f"d={d} (needs T >= 2, d <= 12, VMEM-sized tile)")

@@ -14,6 +14,7 @@ from tame.parallel.mesh import (
     obs_sharding,
     replicated,
     shard_fit_inputs,
+    shard_smoothed_inputs,
     state_sharding,
 )
 
@@ -29,5 +30,6 @@ __all__ = [
     "obs_sharding",
     "replicated",
     "shard_fit_inputs",
+    "shard_smoothed_inputs",
     "state_sharding",
 ]

@@ -84,6 +84,38 @@ def chain_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
     return NamedSharding(mesh, P("batch", *([None] * (ndim - 1))))
 
 
+def shard_smoothed_inputs(mesh: Mesh, Y, state):
+    """Place smoothed-engine fit inputs on the mesh.
+
+    The smoothed family's coordinate update is a per-node block-
+    tridiagonal solve over the WHOLE trajectory
+    (``tame.inference.smoothed``), so it shards over ``nodes`` only: the
+    observation rows and every per-node state tensor split on the node
+    axis; the time axis stays unsharded (the forward-backward recursion
+    is sequential in t — use the ``nodes`` axis for scale; SURVEY.md §5
+    records the measured negative result for T-sharding the exact
+    smoother, ``tame/ops/tridiag.py:30-45``)."""
+    from tame.inference.smoothed import SmoothedState
+
+    if mesh.shape.get("time", 1) != 1:
+        raise ValueError(
+            "the smoothed engine shards over 'nodes' only; build the mesh "
+            "with time=1")
+    node_only = NamedSharding(mesh, P("nodes"))
+    Y_sharded = jax.device_put(Y, NamedSharding(
+        mesh, P("nodes", None, None, None)))
+    state_sharded = SmoothedState(
+        X_mean=jax.device_put(state.X_mean, NamedSharding(
+            mesh, P("nodes", None, None))),
+        X_cov=jax.device_put(state.X_cov, NamedSharding(
+            mesh, P("nodes", None, None, None))),
+        X_cross=jax.device_put(state.X_cross, NamedSharding(
+            mesh, P("nodes", None, None, None))),
+        logdets=jax.device_put(state.logdets, node_only),
+    )
+    return Y_sharded, state_sharded
+
+
 def shard_fit_inputs(mesh: Mesh, Y, state):
     """Place fit inputs on the mesh with the canonical layout; jit picks the
     shardings up from the arguments and GSPMD propagates them through the

@@ -85,13 +85,21 @@ class TestExperimentsEndToEnd:
         results, exp_dir = run_three_way_comparison(
             n_nodes=6, n_time=3, latent_dim=1, max_iter=5,
             learning_rate=0.5, save_outputs=True, verbose=False)
-        assert set(results) == {"Naive MF", "Good SMF", "Bad SMF"}
+        # smoothed engine is included by default (promoted, VERDICT r2)
+        assert set(results) == {"Naive MF", "Good SMF", "Bad SMF",
+                                "Smoothed VI"}
         for r in results.values():
             assert len(r["history"]["elbo"]) == 5
             assert r["X_aligned"].shape == (6, 3, 4)
         assert (exp_dir / "report.md").exists()
         assert (exp_dir / "data" / "results.pkl").exists()
         assert list((exp_dir / "figures").glob("*.png"))
+
+        results3, _ = run_three_way_comparison(
+            n_nodes=6, n_time=3, latent_dim=1, max_iter=3,
+            learning_rate=0.5, save_outputs=False, verbose=False,
+            include_smoothed=False)
+        assert set(results3) == {"Naive MF", "Good SMF", "Bad SMF"}
 
     def test_sensitivity_analysis_small(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)

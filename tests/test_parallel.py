@@ -66,6 +66,38 @@ class TestShardedFit:
         # X_mean should come back sharded over the mesh, not replicated
         assert len(out.X_mean.sharding.device_set) == 8
 
+    def test_smoothed_sharded_matches_single_device(self):
+        """The smoothed (joint-trajectory) engine shards over the nodes
+        axis: per-node block-tridiagonal solves are node-local, so the
+        sharded fit must reproduce the single-device fit."""
+        from tame.inference import smoothed
+        from tame.parallel import shard_smoothed_inputs
+
+        model = TemporalAMEModel(n_nodes=16, n_time=6, latent_dim=1,
+                                 seed=11)
+        Y, _ = model.generate_data(return_latents=True)
+        init = smoothed.init_smoothed_state(jax.random.PRNGKey(0), 16, 6, 4)
+        ref = smoothed.fit_cavi_smoothed(Y, model.params, init,
+                                         max_iter=15, learning_rate=0.8,
+                                         tolerance=0.0)
+
+        mesh = make_mesh(nodes=4, devices=jax.devices()[:4])
+        Y_s, init_s = shard_smoothed_inputs(mesh, Y, init)
+        out = smoothed.fit_cavi_smoothed(Y_s, model.params, init_s,
+                                         max_iter=15, learning_rate=0.8,
+                                         tolerance=0.0)
+        assert np.allclose(np.asarray(ref.state.X_mean),
+                           np.asarray(out.state.X_mean), atol=1e-4)
+        eh_r = np.asarray(ref.elbo_history)[:15]
+        eh_o = np.asarray(out.elbo_history)[:15]
+        assert np.allclose(eh_r, eh_o, rtol=1e-4)
+        assert len(out.state.X_mean.sharding.device_set) == 4
+
+        with pytest.raises(ValueError, match="nodes"):
+            shard_smoothed_inputs(
+                make_mesh(nodes=2, time=2, devices=jax.devices()[:4]),
+                Y, init)
+
     def test_batch_axis_vmap_fits(self):
         """Replicate fits sharded over the batch axis (the sensitivity-sweep
         pattern, SURVEY.md §3.5)."""
