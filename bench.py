@@ -1,6 +1,11 @@
-"""Benchmark: Good-SMF CAVI throughput on the BASELINE demo config.
+"""Benchmark: Good-SMF CAVI throughput on the BASELINE demo config, plus
+the north-star wall-clock-to-converged at n=2000 (both halves of the
+BASELINE.json metric).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
+"n2000_wall_to_converged_s", "n2000_iters", "n2000_converged",
+"n2000_ms_per_iter"} (the n2000_* keys are omitted if that leg fails —
+e.g. on a machine without the memory for the n=2000 problem).
 
 Baseline: the reference implementation measured at 4.81 ELBO-iterations/s
 for Good SMF (lr=0.7, 150 iters, n=15/T=10/r=2 demo config) on CPU
@@ -43,6 +48,44 @@ BASELINE_ITERS_PER_S = 4.81  # reference Good SMF, BASELINE.md
 N_ITERS = 150
 N_FITS = 512
 REPEATS = 3
+
+
+def n2000_metrics():
+    """North-star config (n=2000, T=50, r=4): wall clock of ONE complete
+    Good-SMF fit run to the ACTUAL tolerance/patience stopping rule
+    (tolerance 1e-4, production path: bf16 dyad weights +
+    sufficient-statistics diagnostics, 8-block updates).  One warm-up
+    fit compiles; the timed fit uses a distinct init (transport result
+    caching) and ends with a host fetch."""
+    cfg = ModelConfig(n_nodes=2000, n_time=50, latent_dim=4, seed=0)
+    params = build_params(cfg)
+    key = jax.random.PRNGKey(0)
+    Y, _ = sample(params, key, cfg.n_nodes, cfg.n_time)
+    jax.block_until_ready(Y)
+
+    def fit(i):
+        init = cavi.init_state(jax.random.fold_in(key, 900 + i),
+                               cfg.n_nodes, cfg.n_time, cfg.d,
+                               "full", 0.1, 0.5)
+        jax.block_until_ready(init)
+        t0 = time.perf_counter()
+        out = cavi.fit_cavi(Y, params, init, structure="full",
+                            update_mode="block", num_blocks=8,
+                            max_iter=512, learning_rate=0.8,
+                            tolerance=1e-4, mixed_precision=True,
+                            diag_mode="stats")
+        np.asarray(out.X_mean)  # host-fetch barrier (CLAUDE.md)
+        return out, time.perf_counter() - t0
+
+    fit(0)  # compile
+    out, wall = fit(1)
+    n_iter = int(out.n_iter)
+    return {
+        "n2000_wall_to_converged_s": round(wall, 3),
+        "n2000_iters": n_iter,
+        "n2000_converged": bool(out.converged),
+        "n2000_ms_per_iter": round(wall / n_iter * 1000, 2),
+    }
 
 
 def main():
@@ -89,11 +132,22 @@ def main():
         best = min(best, time.perf_counter() - t0)
 
     iters_per_s = N_FITS * N_ITERS / best
+
+    extra = {}
+    try:
+        extra = n2000_metrics()
+    except Exception as e:  # keep the JSON line intact on any failure
+        import sys
+
+        print(f"n2000 leg failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     print(json.dumps({
         "metric": "good_smf_elbo_iterations_per_s",
         "value": round(iters_per_s, 2),
         "unit": "iter/s",
         "vs_baseline": round(iters_per_s / BASELINE_ITERS_PER_S, 2),
+        **extra,
     }))
 
 

@@ -20,6 +20,14 @@ REQUIRED = [
     "tame/models/static_ame.py",
     "tame/inference/cavi.py",
     "tame/inference/engine.py",
+    "tame/inference/smoothed.py",
+    "tame/inference/hmc.py",
+    "tame/inference/nuts.py",
+    "tame/inference/smc.py",
+    "tame/ops/fused_fit.py",
+    "tame/ops/fused_smoother.py",
+    "tame/io/cstore.cpp",
+    "tame/parallel/comm_analysis.py",
     "tame/ops/dyad.py",
     "tame/parallel/mesh.py",
     "tame/utils/alignment.py",

@@ -38,8 +38,12 @@ def main(n=2000, T=50, r=4):
                                    n, T, cfg.d, "full", 0.1, 0.5)
             jax.block_until_ready(init)
             t0 = time.perf_counter()
+            # max_iter is a DYNAMIC bound (pow2 history buffer): 512 is
+            # ample for the tolerance/patience rule to fire (converged
+            # ~iter 110 at this config), with no recompile vs smaller
+            # budgets.
             out = cavi.fit_cavi(Y, params, init, structure="full",
-                                update_mode="block", max_iter=50,
+                                update_mode="block", max_iter=512,
                                 learning_rate=0.8, tolerance=1e-4,
                                 num_blocks=8, **kw)
             np.asarray(out.X_mean)          # host-fetch barrier

@@ -158,6 +158,13 @@ class TemporalAMECaviVI:
         self._converged = False
         self._diverged = False
         seg_start = done
+        ckptr = None
+        if checkpoint_every and ckpt_dir is not None:
+            from tame.io.async_ckpt import AsyncCheckpointer
+
+            # Checkpoint writes overlap the next compiled segment; only
+            # the device->host snapshot is synchronous.
+            ckptr = AsyncCheckpointer()
         while budget > 0 and not (self._converged or self._diverged):
             seg = min(segment, budget)
             result = cavi.fit_cavi(
@@ -186,8 +193,8 @@ class TemporalAMECaviVI:
             budget -= n_iter
 
             if checkpoint_every:
-                if ckpt_dir is not None:
-                    self.save_checkpoint(ckpt_dir)
+                if ckptr is not None:
+                    ckptr.save(ckpt_dir, self._checkpoint_state())
                 if verbose:
                     total = len(self.history["elbo"])
                     print(f"Iter {total - 1:4d} | "
@@ -195,6 +202,9 @@ class TemporalAMECaviVI:
                           f"MSE: {mse_hist[-1]:.6f}"
                           + (" | checkpointed" if ckpt_dir else ""),
                           flush=True)
+
+        if ckptr is not None:
+            ckptr.wait()  # final checkpoint durable before returning
 
         n_total = len(self.history["elbo"])
         if self._diverged:
@@ -230,13 +240,8 @@ class TemporalAMECaviVI:
     def get_reconstruction_history(self) -> List[float]:
         return self.history["reconstruction_error"]
 
-    def save_checkpoint(self, ckpt_dir) -> None:
-        """Checkpoint the full fit state (variational parameters + history)
-        for restart — a capability the reference lacks entirely (its state
-        lives in memory for the whole fit, SURVEY.md §5)."""
-        from tame.io import save_checkpoint
-
-        save_checkpoint(ckpt_dir, {
+    def _checkpoint_state(self):
+        return {
             "X_mean": self.X_mean,
             "X_cov": self.X_cov,
             "history": {
@@ -249,7 +254,15 @@ class TemporalAMECaviVI:
             "seed": self.seed,
             "carry_elbo": self._carry_elbo,
             "carry_pat": self._carry_pat,
-        })
+        }
+
+    def save_checkpoint(self, ckpt_dir) -> None:
+        """Checkpoint the full fit state (variational parameters + history)
+        for restart — a capability the reference lacks entirely (its state
+        lives in memory for the whole fit, SURVEY.md §5)."""
+        from tame.io import save_checkpoint
+
+        save_checkpoint(ckpt_dir, self._checkpoint_state())
 
     def load_checkpoint(self, ckpt_dir) -> None:
         """Restore a checkpoint saved by :meth:`save_checkpoint`; a

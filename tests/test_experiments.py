@@ -171,6 +171,26 @@ class TestCLI:
         assert "Diagnostic Summary" in out
         assert (tmp_path / "ck" / "manifest.json").exists()
 
+    def test_fit_checkpoint_every_and_resume(self, tmp_path, monkeypatch,
+                                             capsys):
+        monkeypatch.chdir(tmp_path)
+        from tame.cli import main
+
+        rc = main(["fit", "--n-nodes", "6", "--n-time", "3",
+                   "--latent-dim", "1", "--method", "good", "--lr", "0.5",
+                   "--max-iter", "6", "--tolerance", "0",
+                   "--checkpoint", str(tmp_path / "ck"),
+                   "--checkpoint-every", "2"])
+        assert rc == 0
+        assert "checkpointed" in capsys.readouterr().out
+        assert (tmp_path / "ck" / "manifest.json").exists()
+
+        rc = main(["fit", "--n-nodes", "6", "--n-time", "3",
+                   "--latent-dim", "1", "--method", "good", "--lr", "0.5",
+                   "--max-iter", "10", "--tolerance", "0",
+                   "--checkpoint", str(tmp_path / "ck"), "--resume"])
+        assert rc == 0
+
     def test_sample_subcommand(self, capsys):
         from tame.cli import main
 

@@ -704,6 +704,31 @@ class TestFusedFit:
             diag_mode="exact", mixed_precision=False, elbo_every=1,
             num_blocks=10)
 
+    def test_segment_carry_matches_single_run(self):
+        """The convergence carry (last_elbo/pat_count) continues a fit in
+        segments through the KERNEL with the same stopping behavior as
+        one uninterrupted kernel run (the in-fit checkpointing path)."""
+        model, Y, init = self._setup(n=8, T=4)
+        kw = dict(structure="full", update_mode="jacobi",
+                  learning_rate=0.7, tolerance=1e-3, fused=True)
+        full = cavi.fit_cavi(Y, model.params, init, max_iter=60, **kw)
+        assert bool(full.converged)
+        n_full = int(full.n_iter)
+        assert n_full > 15  # split point must fall before convergence
+
+        seg1 = cavi.fit_cavi(Y, model.params, init, max_iter=15, **kw)
+        st = cavi.CaviState(X_mean=seg1.X_mean, X_cov=seg1.X_cov)
+        seg2 = cavi.fit_cavi(Y, model.params, st, max_iter=45,
+                             carry_elbo=float(seg1.last_elbo),
+                             carry_patience=int(seg1.pat_count), **kw)
+        assert bool(seg2.converged)
+        assert int(seg1.n_iter) + int(seg2.n_iter) == n_full
+        assert np.array_equal(np.asarray(full.X_mean),
+                              np.asarray(seg2.X_mean))
+        eh = np.concatenate([np.asarray(seg1.elbo_history)[:15],
+                             np.asarray(seg2.elbo_history)[:n_full - 15]])
+        assert np.array_equal(eh, np.asarray(full.elbo_history)[:n_full])
+
     def test_unsupported_config_rejected(self):
         model, Y, init = self._setup(n=8, T=4)
         with pytest.raises(ValueError, match="fused=True requires"):

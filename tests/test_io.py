@@ -90,6 +90,35 @@ class TestCheckpoint:
         assert np.allclose(load_checkpoint(ckpt)["x"], np.arange(4.0))
 
 
+class TestAsyncCheckpointer:
+    def test_overlapped_writes_roundtrip(self, tmp_path):
+        from tame.io.async_ckpt import AsyncCheckpointer
+
+        ckptr = AsyncCheckpointer()
+        for i in range(3):
+            ckptr.save(tmp_path / "ck",
+                       {"x": np.full(8, float(i)), "step": i})
+        ckptr.wait()
+        loaded = load_checkpoint(tmp_path / "ck")
+        assert np.allclose(loaded["x"], 2.0)
+        assert loaded["step"] == 2
+
+    def test_write_error_surfaces(self, tmp_path):
+        from tame.io.async_ckpt import AsyncCheckpointer
+
+        blocker = tmp_path / "blocked"
+        blocker.write_text("not a directory")
+        ckptr = AsyncCheckpointer()
+        # writing "inside" a file must fail in the background thread...
+        ckptr.save(blocker / "ck", {"x": np.zeros(2)})
+        with pytest.raises(Exception):
+            ckptr.wait()
+        # ...and the checkpointer stays usable afterwards
+        ckptr.save(tmp_path / "ok", {"x": np.ones(2)})
+        ckptr.wait()
+        assert np.allclose(load_checkpoint(tmp_path / "ok")["x"], 1.0)
+
+
 class TestEngineResume:
     def test_fit_resume_continues(self, temporal_data, tmp_path):
         from tame.inference import TemporalAMEStructuredMFVI
