@@ -20,7 +20,7 @@ from jax.experimental import pallas as pl
 
 N, T, R, K = 2000, 50, 4, 25
 GB = N * N * T * 2 / 1e9
-BI = 500
+BI = 200  # must divide N and be a multiple of 8 (Mosaic block rule)
 RP = 128
 
 

@@ -64,7 +64,8 @@ def _cmd_fit(args) -> int:
     if args.method == "naive":
         vi = TemporalAMENaiveMFVI(model, learning_rate=args.lr,
                                   seed=args.seed,
-                                  update_mode=args.update_mode)
+                                  update_mode=args.update_mode,
+                                  init_mode=args.init)
     elif args.method == "smoothed":
         from tame.inference import TemporalAMESmoothedVI
 
@@ -73,7 +74,8 @@ def _cmd_fit(args) -> int:
     else:
         vi = TemporalAMEStructuredMFVI(
             model, factorization=args.method, learning_rate=args.lr,
-            seed=args.seed, update_mode=args.update_mode)
+            seed=args.seed, update_mode=args.update_mode,
+            init_mode=args.init)
     # Validate checkpoint support BEFORE the (potentially long) fit so an
     # unsupported engine fails fast instead of discarding the work.
     if args.checkpoint and not hasattr(vi, "save_checkpoint"):
@@ -189,6 +191,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--check-every", type=int, default=10)
     p.add_argument("--update-mode",
                    choices=["block", "jacobi", "seq"], default="block")
+    p.add_argument("--init", choices=["random", "warm"], default="random",
+                   help="'warm' seeds CAVI from a closed-form data "
+                        "decomposition (fewer iterations / better optima)")
     p.add_argument("--checkpoint", default=None,
                    help="directory to write a checkpoint to")
     p.add_argument("--checkpoint-every", type=int, default=None,

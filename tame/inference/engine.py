@@ -49,7 +49,7 @@ class TemporalAMECaviVI:
                  cov_init_scale: float = 0.5, seed: int = 42,
                  update_mode: str = "block", num_blocks=None,
                  corrected: bool = False, mixed_precision: bool = False,
-                 diag_mode: str = "exact"):
+                 diag_mode: str = "exact", init_mode: str = "random"):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -79,9 +79,20 @@ class TemporalAMECaviVI:
         self._carry_elbo: Optional[float] = None
         self._carry_pat: int = 0
 
-        state = cavi.init_state(
-            jax.random.PRNGKey(seed), self.n, self.T, self.d,
-            self.structure, init_scale, cov_init_scale)
+        if init_mode == "warm":
+            # Data-driven warm start (cavi.warm_init_state): closed-form
+            # additive effects + top-r subspace of the residual — lands
+            # inside the basin at a fraction of the iterations.
+            state = cavi.warm_init_state(
+                self.Y, self.params, structure=self.structure,
+                cov_init_scale=cov_init_scale,
+                key=jax.random.PRNGKey(seed))
+        elif init_mode == "random":
+            state = cavi.init_state(
+                jax.random.PRNGKey(seed), self.n, self.T, self.d,
+                self.structure, init_scale, cov_init_scale)
+        else:
+            raise ValueError(f"unknown init_mode '{init_mode}'")
         self.X_mean: Array = state.X_mean
         self.X_cov: Array = state.X_cov
 
@@ -316,12 +327,13 @@ class TemporalAMENaiveMFVI(TemporalAMECaviVI):
     def __init__(self, model, learning_rate: float = 1.0,
                  init_scale: float = 0.1, seed: int = 42,
                  update_mode: str = "block", corrected: bool = False,
-                 mixed_precision: bool = False, diag_mode: str = "exact"):
+                 mixed_precision: bool = False, diag_mode: str = "exact",
+                 init_mode: str = "random"):
         super().__init__(model, structure="diag",
                          learning_rate=learning_rate, init_scale=init_scale,
                          seed=seed, update_mode=update_mode,
                          corrected=corrected, mixed_precision=mixed_precision,
-                         diag_mode=diag_mode)
+                         diag_mode=diag_mode, init_mode=init_mode)
 
 
 class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
@@ -337,7 +349,8 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
                  learning_rate: float = 1.0, init_scale: float = 0.1,
                  cov_init_scale: float = 0.5, seed: int = 42,
                  update_mode: str = "block", corrected: bool = False,
-                 mixed_precision: bool = False, diag_mode: str = "exact"):
+                 mixed_precision: bool = False, diag_mode: str = "exact",
+                 init_mode: str = "random"):
         if factorization not in ("good", "bad"):
             raise ValueError(f"Unknown factorization '{factorization}'")
         self.factorization = factorization
@@ -347,7 +360,7 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
                          cov_init_scale=cov_init_scale, seed=seed,
                          update_mode=update_mode, corrected=corrected,
                          mixed_precision=mixed_precision,
-                         diag_mode=diag_mode)
+                         diag_mode=diag_mode, init_mode=init_mode)
 
     def get_factorization_type(self) -> str:
         return self.factorization

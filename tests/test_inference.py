@@ -621,6 +621,77 @@ class TestStatsDiagnostics:
                            np.asarray(stats.X_mean))
 
 
+class TestWarmInit:
+    """Data-driven warm start (cavi.warm_init_state)."""
+
+    def _problem(self, n=24, T=6, r=2, seed=3):
+        model = TemporalAMEModel(n_nodes=n, n_time=T, latent_dim=r,
+                                 seed=seed)
+        Y, _ = model.generate_data(return_latents=True)
+        return model, Y
+
+    def test_shapes_and_determinism(self):
+        model, Y = self._problem()
+        a = cavi.warm_init_state(Y, model.params, structure="full")
+        b = cavi.warm_init_state(Y, model.params, structure="full")
+        assert a.X_mean.shape == (24, 6, 6)
+        assert a.X_cov.shape == (24, 6, 6, 6)
+        assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
+        assert np.all(np.isfinite(np.asarray(a.X_mean)))
+        # centroid is constant over time (the AR chain differentiates it)
+        assert np.allclose(np.asarray(a.X_mean[:, 0]),
+                           np.asarray(a.X_mean[:, -1]))
+
+    def test_warm_start_explains_data(self):
+        """The warm centroid alone must already reconstruct much better
+        than the zero/noise init (it is a least-squares + top-r fit of
+        the time-averaged network)."""
+        from tame.ops import dyad as dyad_ops
+
+        model, Y = self._problem()
+        warm = cavi.warm_init_state(Y, model.params, structure="full")
+        mu = dyad_ops.dyadic_mean_temporal(warm.X_mean, 2)
+        mse_warm = float(dyad_ops.masked_sq_error_temporal(Y, mu))
+        mse_zero = float(dyad_ops.masked_sq_error_temporal(
+            Y, jnp.zeros_like(mu)))
+        assert mse_warm < 0.5 * mse_zero
+
+    @pytest.mark.parametrize("structure", ["diag", "full"])
+    def test_warm_fixed_point_at_least_as_good(self, structure):
+        """A warm-started fit must converge to an optimum at least as
+        good as the random init's (measured: sometimes strictly better —
+        the random init can satisfy the tolerance rule at a worse fixed
+        point).  The 'block' (bad-SMF) control is excluded: its wrong
+        factorization is init-sensitive by design with no ordering
+        guarantee either way."""
+        model, Y = self._problem()
+        lr = 1.0
+        cold = cavi.init_state(jax.random.PRNGKey(0), 24, 6, 6,
+                               structure, 0.1, 0.5)
+        warm = cavi.warm_init_state(Y, model.params, structure=structure)
+        outs = {}
+        for label, st in [("cold", cold), ("warm", warm)]:
+            out = cavi.fit_cavi(Y, model.params, st, structure=structure,
+                                update_mode="block", max_iter=512,
+                                learning_rate=lr, tolerance=1e-4)
+            ni = int(out.n_iter)
+            outs[label] = float(np.asarray(out.elbo_history)[ni - 1])
+            assert bool(out.converged)
+        assert outs["warm"] >= outs["cold"] - abs(outs["cold"]) * 0.01
+
+    def test_engine_init_mode(self):
+        from tame.inference import TemporalAMEStructuredMFVI
+
+        model, Y = self._problem()
+        vi = TemporalAMEStructuredMFVI(model, factorization="good",
+                                       init_mode="warm")
+        h = vi.fit(max_iter=30, verbose=False)
+        assert len(h["elbo"]) <= 30
+        assert np.isfinite(h["elbo"][-1])
+        with pytest.raises(ValueError, match="init_mode"):
+            TemporalAMEStructuredMFVI(model, init_mode="bogus")
+
+
 class TestFusedFit:
     """Whole-fit Pallas megakernel (tame/ops/fused_fit.py) vs the XLA path.
 

@@ -191,3 +191,32 @@ class TestComparisonPlots:
                                         save_path=str(path))
         assert isinstance(fig, Figure)
         assert path.exists()
+
+
+class TestMCMCDiagnosticsPlot:
+    """plot_chain_diagnostics — visual companion to the sampler
+    convergence reports (no reference counterpart: it has no sampler)."""
+
+    def test_returns_figure_and_saves(self, tmp_path):
+        import numpy as np
+
+        from tame.visualization import plot_chain_diagnostics
+
+        rng = np.random.default_rng(0)
+        x = rng.normal(size=(4, 60, 3, 2))
+        ld = rng.normal(size=(4, 60))
+        fig = plot_chain_diagnostics(x, ld,
+                                     save_path=str(tmp_path / "d.png"))
+        assert isinstance(fig, Figure)
+        assert (tmp_path / "d.png").exists()
+        plt.close(fig)
+
+    def test_without_logdensities(self):
+        import numpy as np
+
+        from tame.visualization import plot_chain_diagnostics
+
+        x = np.random.default_rng(1).normal(size=(2, 40, 4))
+        fig = plot_chain_diagnostics(x)
+        assert isinstance(fig, Figure)
+        plt.close(fig)
