@@ -5,6 +5,7 @@ validate the new framework's mesh layouts: sharded fits must produce the
 same numbers as single-device fits.
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -327,3 +328,32 @@ class TestCommAnalysis:
         prof = analyze_sharded_fit(32, 4, 1, nodes=8, time_axis=1,
                                    num_blocks=8)
         assert "collective-permute" not in prof["collectives"]
+
+
+class TestMultiprocessDistributed:
+    """REAL multi-process `jax.distributed` path (SURVEY.md §5 distributed
+    comm backend): two OS processes, each owning 4 CPU devices of one
+    8-device global mesh, cross-process collectives over Gloo (the CPU
+    stand-in for DCN).  The proof script asserts the globally-sharded fit
+    equals a single-process golden and that the distributed stopping rule
+    agrees across processes; see MULTIHOST.json / SCALING.md."""
+
+    @pytest.mark.slow
+    def test_two_process_fit_matches_single_process(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        repo = "/root/repo"
+        env = dict(os.environ)
+        env["PYTHONPATH"] = "/root/.axon_site:" + repo
+        env["TAME_MH_PORT"] = "47331"  # avoid clashing with manual runs
+        r = subprocess.run(
+            [sys.executable, f"{repo}/scripts/multihost_proof.py"],
+            cwd=repo, env=env, capture_output=True, text=True, timeout=840)
+        assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+        with open(f"{repo}/MULTIHOST.json") as f:
+            data = json.load(f)
+        assert data["ok"] and data["processes"] == 2
+        assert data["max_abs_dx"] < 5e-4
+        assert data["elbo_rel_err"] < 1e-5
