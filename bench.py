@@ -118,10 +118,15 @@ def main():
             # measured 24.3 us/it step-only, +4.3 exact, +15 stats).
             st = cavi.init_state(k, cfg.n_nodes, cfg.n_time, cfg.d,
                                  "full", 0.1, 0.5)
+            # Explicit fused=True: under this outer jit the inputs are
+            # tracers, which "auto" declines (it cannot see sharding);
+            # this bench is single-chip by construction.
             out = cavi.fit_cavi(Y, params, st, structure="full",
                                 update_mode="jacobi", max_iter=N_ITERS,
                                 learning_rate=0.7, tolerance=0.0,
-                                diag_mode="exact")
+                                diag_mode="exact",
+                                fused=(True if jax.default_backend()
+                                       != "cpu" else "auto"))
             return 0, (out.X_mean, out.n_iter)
         _, (means, iters) = jax.lax.scan(one_fit, 0,
                                          jax.random.split(keys, N_FITS))

@@ -952,12 +952,15 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
         on_cpu = jax.default_backend() == "cpu"
         # A single pallas_call is not GSPMD-partitioned: inputs sharded
         # across devices must take the XLA path (collectives).  Tracers
-        # (fit_cavi under an outer jit, e.g. bench.py) have no sharding
-        # and pass through.
+        # (fit_cavi under an outer jit) carry no sharding to inspect, so
+        # "auto" declines them — a caller jitting over sharded inputs must
+        # not silently get a non-partitionable kernel.  Single-device
+        # callers under an outer jit opt in with fused=True (bench.py).
+        is_tracer = isinstance(Y, jax.core.Tracer)
         try:
             multi_device = len(Y.sharding.device_set) > 1
         except Exception:
-            multi_device = False
+            multi_device = is_tracer
         if fused is True:
             if not supported:
                 raise ValueError(

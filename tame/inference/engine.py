@@ -162,12 +162,18 @@ class TemporalAMECaviVI:
         segment = checkpoint_every or budget
 
         # Convergence carry: fresh fits start clean; resumed fits pick up
-        # the persisted carry so the stopping decision is unchanged.
+        # the persisted carry so the stopping decision is unchanged.  The
+        # converged/diverged flags are part of the carry: a checkpoint
+        # taken after the stopping rule fired must not re-enter the loop
+        # (the uninterrupted fit would have stopped there).
         if not (resume and done > 0):
             self._carry_elbo = None
             self._carry_pat = 0
-        self._converged = False
-        self._diverged = False
+            self._converged = False
+            self._diverged = False
+        else:
+            self._converged = bool(getattr(self, "_converged", False))
+            self._diverged = bool(getattr(self, "_diverged", False))
         seg_start = done
         ckptr = None
         if checkpoint_every and ckpt_dir is not None:
@@ -265,6 +271,8 @@ class TemporalAMECaviVI:
             "seed": self.seed,
             "carry_elbo": self._carry_elbo,
             "carry_pat": self._carry_pat,
+            "converged": bool(getattr(self, "_converged", False)),
+            "diverged": bool(getattr(self, "_diverged", False)),
         }
 
     def save_checkpoint(self, ckpt_dir) -> None:
@@ -295,6 +303,8 @@ class TemporalAMECaviVI:
         }
         self._carry_elbo = state.get("carry_elbo")
         self._carry_pat = int(state.get("carry_pat", 0))
+        self._converged = bool(state.get("converged", False))
+        self._diverged = bool(state.get("diverged", False))
 
     def predict_forward(self, n_steps: int = 1) -> Array:
         """AR(1) forward forecast from the last state means

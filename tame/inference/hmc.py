@@ -245,26 +245,38 @@ class TemporalAMEHMC:
             num_warmup=num_warmup, num_samples=num_samples,
             num_leapfrog=self.num_leapfrog, inv_mass=inv_mass, thin=thin)
         out = jax.vmap(lambda pos, k: run(pos, k))(inits, keys)
-        self.last_diagnostics = _summarize_chains(out)
+        # Diagnostics are computed lazily in diagnostics(): the R-hat/ESS
+        # pass copies the whole sample stack to the host, which must not
+        # tax production sample() calls at sharded-chain scale.
+        self._last_sample = out
+        self.last_diagnostics = None
         return out
 
     def diagnostics(self):
         """Convergence report of the most recent :meth:`sample` call:
         max split-R-hat, min/median ESS, log-density R-hat (see
-        :func:`tame.utils.diagnostics.chain_diagnostics`)."""
-        if not getattr(self, "last_diagnostics", None):
-            raise RuntimeError("call sample() first")
-        return self.last_diagnostics
+        :func:`tame.utils.diagnostics.chain_diagnostics`).  Computed on
+        first call and cached until the next :meth:`sample`."""
+        return _lazy_diagnostics(self)
 
 
-def _summarize_chains(out):
-    """Cross-chain convergence summary for a sampler output (None when
-    there are too few chains/draws to estimate R-hat)."""
+def _lazy_diagnostics(sampler):
+    """Shared lazy diagnostics accessor for HMC/NUTS engine classes."""
+    if getattr(sampler, "last_diagnostics", None) is not None:
+        return sampler.last_diagnostics
+    out = getattr(sampler, "_last_sample", None)
+    if out is None:
+        raise RuntimeError("call sample() first")
+    C, N = out.positions.shape[:2]
+    if C < 2 or N < 4:
+        raise RuntimeError(
+            f"chain diagnostics need >= 2 chains and >= 4 draws to "
+            f"estimate split-R-hat; got {C} chain(s) x {N} draw(s)")
     from tame.utils.diagnostics import chain_diagnostics
 
-    if out.positions.shape[0] < 2 or out.positions.shape[1] < 4:
-        return None
-    return chain_diagnostics(out.positions, out.logdensities)
+    sampler.last_diagnostics = chain_diagnostics(out.positions,
+                                                 out.logdensities)
+    return sampler.last_diagnostics
 
 
 def _shard_chains(mesh, inits, keys):

@@ -339,14 +339,15 @@ class TemporalAMENUTS:
             num_samples=num_samples, max_depth=self.max_depth,
             inv_mass=inv_mass)
         out = jax.vmap(lambda p, k: run(p, k))(inits, keys)
-        from tame.inference.hmc import _summarize_chains
-
-        self.last_diagnostics = _summarize_chains(out)
+        # Lazily diagnosed — see TemporalAMEHMC.sample.
+        self._last_sample = out
+        self.last_diagnostics = None
         return out
 
     def diagnostics(self):
         """Convergence report of the most recent :meth:`sample` call
-        (see :meth:`TemporalAMEHMC.diagnostics`)."""
-        if not getattr(self, "last_diagnostics", None):
-            raise RuntimeError("call sample() first")
-        return self.last_diagnostics
+        (see :meth:`TemporalAMEHMC.diagnostics`); computed on first call
+        and cached until the next :meth:`sample`."""
+        from tame.inference.hmc import _lazy_diagnostics
+
+        return _lazy_diagnostics(self)

@@ -94,9 +94,10 @@ def measure_scaling_efficiency(fit_fn, Y, init, device_counts,
             best = min(best, time.perf_counter() - t0)
         if base is None:
             base = best * count  # device-seconds of the smallest mesh
+        efficiency = base / (best * count)
         results[count] = {"wall_s": best,
-                          "speedup": base / count / best * count,
-                          "efficiency": base / (best * count)}
+                          "speedup": efficiency * count,
+                          "efficiency": efficiency}
     return results
 
 

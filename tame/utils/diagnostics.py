@@ -277,17 +277,16 @@ def effective_sample_size(samples: Array) -> Array:
     var_plus = np.maximum(var_plus, 1e-12)
 
     rho = 1.0 - (W[None] - acov_mean) / var_plus[None]   # (N, P)
-    # Geyer initial positive sequence on pair sums rho_{2t} + rho_{2t+1}
+    # Geyer initial positive sequence on pair sums rho_{2t} + rho_{2t+1},
+    # vectorized over parameters: a cumulative-product mask zeroes every
+    # pair from the first negative one onward (identical to the
+    # break-at-first-negative loop, O(N*P) array work instead of a
+    # Python double loop).
     n_pairs = (N - 1) // 2
-    ess = np.empty(P)
-    for p in range(P):
-        tau = 1.0
-        for t in range(n_pairs):
-            pair = rho[2 * t + 1, p] + rho[2 * t + 2, p]
-            if pair < 0:
-                break
-            tau += 2.0 * pair
-        ess[p] = C * N / max(tau, 1e-12)
+    pair = rho[1:2 * n_pairs + 1].reshape(n_pairs, 2, P).sum(axis=1)
+    keep = np.cumprod(pair >= 0, axis=0)             # (n_pairs, P)
+    tau = 1.0 + 2.0 * (pair * keep).sum(axis=0)
+    ess = C * N / np.maximum(tau, 1e-12)
     return jnp.asarray(ess.reshape(P_shape))
 
 

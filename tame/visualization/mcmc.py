@@ -54,10 +54,16 @@ def plot_chain_diagnostics(positions, logdensities=None, n_worst: int = 3,
     ax = axes[0, 1]
     p0 = int(worst[0])
     ranks = np.argsort(np.argsort(flat[:, :, p0].ravel())).reshape(C, N)
+    # Shared bins over the FULL global rank range [0, C*N): per-chain
+    # auto-ranged bins would render a stuck chain's concentrated ranks as
+    # a deceptively flat histogram — exactly the pathology this panel
+    # exists to expose.
+    n_bins = min(20, N // 2)
+    edges = np.linspace(0, C * N, n_bins + 1)
     for c in range(C):
-        ax.hist(ranks[c], bins=min(20, N // 2), histtype="step", lw=1.2,
+        ax.hist(ranks[c], bins=edges, histtype="step", lw=1.2,
                 label=f"chain {c}" if C <= 6 else None)
-    ax.axhline(N / min(20, N // 2), color="k", ls="--", lw=0.8)
+    ax.axhline(N / n_bins, color="k", ls="--", lw=0.8)
     ax.set_title(f"Rank histogram, worst parameter "
                  f"(R-hat {rhat[p0]:.3f})")
     if C <= 6:

@@ -204,6 +204,33 @@ class TestEngineResume:
               ckpt_dir=tmp_path / "ck", resume=True)
         assert c.history["elbo"] == ref.history["elbo"]
 
+    def test_resume_after_converged_is_a_noop(self, temporal_data,
+                                              tmp_path):
+        """A checkpoint taken after the stopping rule fired must not
+        re-enter the loop on resume with budget remaining: the
+        uninterrupted fit would have stopped there, and resume promises
+        bitwise reproduction of it."""
+        from tame.inference import TemporalAMEStructuredMFVI
+
+        a = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                      factorization="good",
+                                      learning_rate=0.7)
+        a.fit(max_iter=60, tolerance=1e-2, verbose=False,
+              checkpoint_every=5, ckpt_dir=tmp_path / "cv")
+        assert a._converged
+        n_done = len(a.history["elbo"])
+        assert n_done < 60  # converged before the budget
+
+        b = TemporalAMEStructuredMFVI(temporal_data["model"],
+                                      factorization="good",
+                                      learning_rate=0.7)
+        b.fit(max_iter=60, tolerance=1e-2, verbose=False,
+              checkpoint_every=5, ckpt_dir=tmp_path / "cv", resume=True)
+        assert b._converged
+        assert len(b.history["elbo"]) == n_done
+        assert b.history["elbo"] == a.history["elbo"]
+        assert np.array_equal(np.asarray(b.X_mean), np.asarray(a.X_mean))
+
     def test_segmented_smoothed_checkpoint(self, temporal_data, tmp_path):
         """The smoothed engine checkpoints and restores its full state
         (means, marginal + cross covariances, logdets)."""
