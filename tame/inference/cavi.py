@@ -317,8 +317,61 @@ def _obs_precision(U: Array, V: Array, R_inv: Array) -> Array:
     return P
 
 
+def _masked_obs_precision(Mr: Array, U: Array, V: Array,
+                          R_inv: Array) -> Array:
+    """Observation precision ``sum_{j observed} J' R^-1 J`` under a dyad
+    mask, for a row-slice of nodes.
+
+    The complete-network assembly (:func:`_obs_precision`) collapses the
+    j-sums into GLOBAL statistics minus the self term; with missing dyads
+    the sums become per-node masked contractions: counts, masked partner
+    sums, and masked partner Grams — the Grams ride the same MXU
+    contraction as the eta terms with the outer-product panels
+    ``U_j U_j' / V_j V_j' / V_j U_j'`` as the right factor (3 r^2 extra
+    columns).  No reference counterpart: the reference supports complete
+    networks only.
+
+    Parameters
+    ----------
+    Mr : (m, n, T) mask rows (1 = dyad observed, 0 = missing; diag 0).
+    U, V : (n, T, r) current variational means.
+
+    Returns
+    -------
+    P_obs : (m, T, d, d)
+    """
+    n, T, r = U.shape
+    d = 2 + 2 * r
+    p, q = R_inv[0, 0], R_inv[0, 1]
+    Mf = Mr.astype(jnp.float32)
+    cnt = Mf.sum(1)                                          # (m, T)
+    sU = _eta_contract(Mr, U)                                # (m, T, r)
+    sV = _eta_contract(Mr, V)
+    UU = (U[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
+    VV = (V[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
+    VU = (V[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
+    m = Mr.shape[0]
+    GUU = _eta_contract(Mr, UU).reshape(m, T, r, r)
+    GVV = _eta_contract(Mr, VV).reshape(m, T, r, r)
+    GVU = _eta_contract(Mr, VU).reshape(m, T, r, r)
+
+    P = jnp.zeros((m, T, d, d), U.dtype)
+    P = P.at[..., 0, 0].set(p * cnt).at[..., 1, 1].set(p * cnt)
+    P = P.at[..., 0, 1].set(q * cnt).at[..., 1, 0].set(q * cnt)
+    P = P.at[..., 0, 2:2 + r].set(p * sV).at[..., 2:2 + r, 0].set(p * sV)
+    P = P.at[..., 0, 2 + r:].set(q * sU).at[..., 2 + r:, 0].set(q * sU)
+    P = P.at[..., 1, 2:2 + r].set(q * sV).at[..., 2:2 + r, 1].set(q * sV)
+    P = P.at[..., 1, 2 + r:].set(p * sU).at[..., 2 + r:, 1].set(p * sU)
+    P = P.at[..., 2:2 + r, 2:2 + r].set(p * GVV)
+    P = P.at[..., 2 + r:, 2 + r:].set(p * GUU)
+    P = P.at[..., 2:2 + r, 2 + r:].set(q * GVU)
+    P = P.at[..., 2 + r:, 2:2 + r].set(q * jnp.swapaxes(GVU, -1, -2))
+    return P
+
+
 def _obs_nat_param(obs: ObsConstants, X_mean: Array, r: int,
-                   R_inv: Array, corrected: bool) -> Array:
+                   R_inv: Array, corrected: bool,
+                   mask: Optional[Array] = None) -> Array:
     """Observation natural parameter for every (i, t): (n, T, d).
 
     The U/V slots are MXU contractions of the constant dyad weights against
@@ -345,14 +398,21 @@ def _obs_nat_param(obs: ObsConstants, X_mean: Array, r: int,
         p, q = R_inv[0, 0], R_inv[0, 1]
         c = p * b + q * a                                   # (n, T)
         dd = q * b + p * a
-        eta_a = eta_a - (c.sum(0)[None] - c)
-        eta_b = eta_b - (dd.sum(0)[None] - dd)
-        cV = jnp.einsum("jt,jtr->tr", c, V,
-                        precision=HIGHEST)[None] - c[..., None] * V
-        dU = jnp.einsum("jt,jtr->tr", dd, U,
-                        precision=HIGHEST)[None] - dd[..., None] * U
-        etaU = etaU - cV
-        etaV = etaV - dU
+        if mask is not None:
+            # Missing dyads: offset sums run over observed partners only.
+            eta_a = eta_a - _eta_contract(mask, c[..., None])[..., 0]
+            eta_b = eta_b - _eta_contract(mask, dd[..., None])[..., 0]
+            etaU = etaU - _eta_contract(mask, c[..., None] * V)
+            etaV = etaV - _eta_contract(mask, dd[..., None] * U)
+        else:
+            eta_a = eta_a - (c.sum(0)[None] - c)
+            eta_b = eta_b - (dd.sum(0)[None] - dd)
+            cV = jnp.einsum("jt,jtr->tr", c, V,
+                            precision=HIGHEST)[None] - c[..., None] * V
+            dU = jnp.einsum("jt,jtr->tr", dd, U,
+                            precision=HIGHEST)[None] - dd[..., None] * U
+            etaU = etaU - cV
+            etaV = etaV - dU
     return jnp.concatenate(
         [eta_a[..., None], eta_b[..., None], etaU, etaV], axis=-1)
 
@@ -437,7 +497,8 @@ _SOLVERS = {"diag": _solve_diag, "full": _solve_full, "block": _solve_block}
 
 def compute_elbo(Y: Array, params: AMEParams, pri: PriorMatrices,
                  state: CaviState, structure: str,
-                 mu_dyadic: Array | None = None) -> Array:
+                 mu_dyadic: Array | None = None,
+                 obs_mask: Array | None = None) -> Array:
     """ELBO with the reference's exact term structure.
 
     * expected log-likelihood is a plug-in at the means
@@ -462,23 +523,43 @@ def compute_elbo(Y: Array, params: AMEParams, pri: PriorMatrices,
     p_, q_ = params.R_inv[0, 0], params.R_inv[0, 1]
     e0, e1 = resid[..., 0], resid[..., 1]
     quad = p_ * (e0 * e0 + e1 * e1) + 2.0 * q_ * (e0 * e1)
-    mask = dyad_ops.offdiag_mask(n)[:, :, None]
-    quad_sum = 0.5 * jnp.sum(quad * mask)  # i<j sum = half the off-diag sum
-    return _elbo_from_quad(quad_sum, params, pri, state, structure)
+    if obs_mask is None:
+        m = dyad_ops.offdiag_mask(n)[:, :, None]
+        mask_stats = None
+    else:
+        m = obs_mask
+        mask_stats = (0.5 * jnp.sum(obs_mask),
+                      obs_mask.astype(jnp.float32).sum(1))
+    quad_sum = 0.5 * jnp.sum(quad * m)  # i<j sum = half the off-diag sum
+    return _elbo_from_quad(quad_sum, params, pri, state, structure,
+                           mask_stats=mask_stats)
 
 
 def _elbo_from_quad(quad_sum: Array, params: AMEParams, pri: PriorMatrices,
-                    state: CaviState, structure: str) -> Array:
+                    state: CaviState, structure: str,
+                    mask_stats=None) -> Array:
     """ELBO given the precomputed likelihood quadratic form
     ``sum_{i<j,t} resid' R^-1 resid``; all remaining terms depend only on
-    the variational state."""
+    the variational state.
+
+    ``mask_stats`` (missing-data fits): ``(n_obs_dyads, cnt)`` with the
+    number of observed unordered dyad-times and the per-(node, time)
+    observed-partner counts ``(n, T)`` — the likelihood normalization and
+    the structured trace correction then run over observed dyads only.
+    """
     n, T, d = state.X_mean.shape
-    n_dyads = n * (n - 1) // 2 * T
+    if mask_stats is None:
+        n_dyads = n * (n - 1) // 2 * T
+    else:
+        n_dyads = mask_stats[0]
     log_lik = -0.5 * (quad_sum + n_dyads * (pri.logdet_R + 2.0 * _LOG2PI))
 
     tr_cov = jnp.trace(state.X_cov, axis1=-2, axis2=-1)        # (n, T)
     if structure in ("full", "block"):
-        corr = 0.1 * jnp.trace(params.R_inv) / d * (n - 1) * jnp.sum(tr_cov)
+        # sum_{i<j observed} (tr S_i + tr S_j) = sum_i cnt_i tr S_i
+        wsum = (jnp.sum(mask_stats[1] * tr_cov) if mask_stats is not None
+                else (n - 1) * jnp.sum(tr_cov))
+        corr = 0.1 * jnp.trace(params.R_inv) / d * wsum
         log_lik = log_lik - 0.5 * corr
 
     # -- initial-state prior ----------------------------------------------
@@ -515,19 +596,30 @@ def _elbo_from_quad(quad_sum: Array, params: AMEParams, pri: PriorMatrices,
 
 def cavi_step_jacobi(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
                      params: AMEParams, structure: str, lr: Array,
-                     corrected: bool = False) -> CaviState:
+                     corrected: bool = False,
+                     mask: Optional[Array] = None) -> CaviState:
     """Simultaneous (Jacobi) update of every q(X_i^t) factor.
 
     All factors read the previous iterate; same fixed points as the
     reference's Gauss-Seidel sweep under the damped update
     ``new = lr * closed_form + (1 - lr) * old`` (``naive_mf.py:277-281``).
+
+    ``mask`` (n, n, T; symmetric, zero diagonal) restricts the observation
+    terms to observed dyads — missing-data support beyond the reference
+    (its loops assume a complete network, ``naive_mf.py:324-374``).  The
+    dyad weights in ``obs`` must have been masked at precompute time.
     """
     n, T, d = state.X_mean.shape
     r = (d - 2) // 2
     _, _, U, V = dyad_ops.split_state(state.X_mean, r)
 
-    P = _obs_precision(U, V, params.R_inv) + _prior_precision(pri, T)[None]
-    eta = (_obs_nat_param(obs, state.X_mean, r, params.R_inv, corrected)
+    if mask is None:
+        P_obs = _obs_precision(U, V, params.R_inv)
+    else:
+        P_obs = _masked_obs_precision(mask, U, V, params.R_inv)
+    P = P_obs + _prior_precision(pri, T)[None]
+    eta = (_obs_nat_param(obs, state.X_mean, r, params.R_inv, corrected,
+                          mask=mask)
            + _prior_nat_param(pri, state.X_mean))
 
     mu_new, cov_new = _SOLVERS[structure](P, eta)
@@ -539,7 +631,8 @@ def cavi_step_jacobi(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
 def cavi_step_block(state: CaviState, obs: ObsConstants,
                     pri: PriorMatrices, params: AMEParams, structure: str,
                     lr: Array, num_blocks: int,
-                    corrected: bool = False) -> CaviState:
+                    corrected: bool = False,
+                    mask: Optional[Array] = None) -> CaviState:
     """Block Gauss-Seidel: nodes split into ``num_blocks`` groups updated in
     sequence, each group reading the freshest global state; all (node, time)
     factors within a group update simultaneously.
@@ -567,46 +660,52 @@ def cavi_step_block(state: CaviState, obs: ObsConstants,
     W1r = obs.W1.reshape(num_blocks, bs, n, T)
     eta_ar = obs.eta_a.reshape(num_blocks, bs, T)
     eta_br = obs.eta_b.reshape(num_blocks, bs, T)
+    Mr = (mask.reshape(num_blocks, bs, n, T)
+          if mask is not None else None)
 
     def update_block(b, carry):
         X_mean, X_cov = carry
         _, _, U, V = dyad_ops.split_state(X_mean, r)           # (n, T, r)
 
-        # Fresh global sufficient statistics (cheap: O(n T r^2)).
-        sU_all = U.sum(0)                                      # (T, r)
-        sV_all = V.sum(0)
-        GUU_all = jnp.einsum("jtk,jtl->tkl", U, U,
-                             preferred_element_type=jnp.float32,
-                             precision=HIGHEST)
-        GVV_all = jnp.einsum("jtk,jtl->tkl", V, V,
-                             preferred_element_type=jnp.float32,
-                             precision=HIGHEST)
-        GVU_all = jnp.einsum("jtk,jtl->tkl", V, U,
-                             preferred_element_type=jnp.float32,
-                             precision=HIGHEST)
-
         start = b * bs
         Ub = jax.lax.dynamic_slice_in_dim(U, start, bs, 0)     # (bs, T, r)
         Vb = jax.lax.dynamic_slice_in_dim(V, start, bs, 0)
 
-        sU = sU_all[None] - Ub
-        sV = sV_all[None] - Vb
-        GUU = GUU_all[None] - Ub[..., :, None] * Ub[..., None, :]
-        GVV = GVV_all[None] - Vb[..., :, None] * Vb[..., None, :]
-        GVU = GVU_all[None] - Vb[..., :, None] * Ub[..., None, :]
+        if Mr is not None:
+            Mb = jax.lax.dynamic_index_in_dim(Mr, b, 0, keepdims=False)
+            P = _masked_obs_precision(Mb, U, V, params.R_inv) + prior_P
+        else:
+            # Fresh global sufficient statistics (cheap: O(n T r^2)).
+            sU_all = U.sum(0)                                  # (T, r)
+            sV_all = V.sum(0)
+            GUU_all = jnp.einsum("jtk,jtl->tkl", U, U,
+                                 preferred_element_type=jnp.float32,
+                                 precision=HIGHEST)
+            GVV_all = jnp.einsum("jtk,jtl->tkl", V, V,
+                                 preferred_element_type=jnp.float32,
+                                 precision=HIGHEST)
+            GVU_all = jnp.einsum("jtk,jtl->tkl", V, U,
+                                 preferred_element_type=jnp.float32,
+                                 precision=HIGHEST)
 
-        P = jnp.zeros((bs, T, d, d), X_mean.dtype)
-        P = P.at[..., 0, 0].set(p * c).at[..., 1, 1].set(p * c)
-        P = P.at[..., 0, 1].set(q * c).at[..., 1, 0].set(q * c)
-        P = P.at[..., 0, 2:2 + r].set(p * sV).at[..., 2:2 + r, 0].set(p * sV)
-        P = P.at[..., 0, 2 + r:].set(q * sU).at[..., 2 + r:, 0].set(q * sU)
-        P = P.at[..., 1, 2:2 + r].set(q * sV).at[..., 2:2 + r, 1].set(q * sV)
-        P = P.at[..., 1, 2 + r:].set(p * sU).at[..., 2 + r:, 1].set(p * sU)
-        P = P.at[..., 2:2 + r, 2:2 + r].set(p * GVV)
-        P = P.at[..., 2 + r:, 2 + r:].set(p * GUU)
-        P = P.at[..., 2:2 + r, 2 + r:].set(q * GVU)
-        P = P.at[..., 2 + r:, 2:2 + r].set(q * jnp.swapaxes(GVU, -1, -2))
-        P = P + prior_P
+            sU = sU_all[None] - Ub
+            sV = sV_all[None] - Vb
+            GUU = GUU_all[None] - Ub[..., :, None] * Ub[..., None, :]
+            GVV = GVV_all[None] - Vb[..., :, None] * Vb[..., None, :]
+            GVU = GVU_all[None] - Vb[..., :, None] * Ub[..., None, :]
+
+            P = jnp.zeros((bs, T, d, d), X_mean.dtype)
+            P = P.at[..., 0, 0].set(p * c).at[..., 1, 1].set(p * c)
+            P = P.at[..., 0, 1].set(q * c).at[..., 1, 0].set(q * c)
+            P = P.at[..., 0, 2:2 + r].set(p * sV).at[..., 2:2 + r, 0].set(p * sV)
+            P = P.at[..., 0, 2 + r:].set(q * sU).at[..., 2 + r:, 0].set(q * sU)
+            P = P.at[..., 1, 2:2 + r].set(q * sV).at[..., 2:2 + r, 1].set(q * sV)
+            P = P.at[..., 1, 2 + r:].set(p * sU).at[..., 2 + r:, 1].set(p * sU)
+            P = P.at[..., 2:2 + r, 2:2 + r].set(p * GVV)
+            P = P.at[..., 2 + r:, 2 + r:].set(p * GUU)
+            P = P.at[..., 2:2 + r, 2 + r:].set(q * GVU)
+            P = P.at[..., 2 + r:, 2:2 + r].set(q * jnp.swapaxes(GVU, -1, -2))
+            P = P + prior_P
 
         W0b = jax.lax.dynamic_index_in_dim(W0r, b, 0, keepdims=False)
         W1b = jax.lax.dynamic_index_in_dim(W1r, b, 0, keepdims=False)
@@ -619,16 +718,28 @@ def cavi_step_block(state: CaviState, obs: ObsConstants,
             b_all = X_mean[..., 1]
             cc = p * b_all + q * a_all
             ddc = q * b_all + p * a_all
-            cb = jax.lax.dynamic_slice_in_dim(cc, start, bs, 0)
-            db = jax.lax.dynamic_slice_in_dim(ddc, start, bs, 0)
-            eta_a_b = eta_a_b - (cc.sum(0)[None] - cb)
-            eta_b_b = eta_b_b - (ddc.sum(0)[None] - db)
-            cV = jnp.einsum("jt,jtr->tr", cc, V,
-                            precision=HIGHEST)[None] - cb[..., None] * Vb
-            dU = jnp.einsum("jt,jtr->tr", ddc, U,
-                            precision=HIGHEST)[None] - db[..., None] * Ub
-            etaU = etaU - cV
-            etaV = etaV - dU
+            if Mr is not None:
+                Mb = jax.lax.dynamic_index_in_dim(Mr, b, 0,
+                                                  keepdims=False)
+                eta_a_b = eta_a_b - _eta_contract(
+                    Mb, cc[..., None])[..., 0]
+                eta_b_b = eta_b_b - _eta_contract(
+                    Mb, ddc[..., None])[..., 0]
+                etaU = etaU - _eta_contract(Mb, cc[..., None] * V)
+                etaV = etaV - _eta_contract(Mb, ddc[..., None] * U)
+            else:
+                cb = jax.lax.dynamic_slice_in_dim(cc, start, bs, 0)
+                db = jax.lax.dynamic_slice_in_dim(ddc, start, bs, 0)
+                eta_a_b = eta_a_b - (cc.sum(0)[None] - cb)
+                eta_b_b = eta_b_b - (ddc.sum(0)[None] - db)
+                cV = jnp.einsum("jt,jtr->tr", cc, V,
+                                precision=HIGHEST)[None] \
+                    - cb[..., None] * Vb
+                dU = jnp.einsum("jt,jtr->tr", ddc, U,
+                                precision=HIGHEST)[None] \
+                    - db[..., None] * Ub
+                etaU = etaU - cV
+                etaV = etaV - dU
         eta = jnp.concatenate(
             [eta_a_b[..., None], eta_b_b[..., None], etaU, etaV], axis=-1)
         eta = eta + jax.lax.dynamic_slice_in_dim(
@@ -722,9 +833,9 @@ def cavi_step_seq(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
 
 
 def cavi_step_block_wrapper(state, obs, pri, params, structure, lr, *,
-                            num_blocks, corrected=False):
+                            num_blocks, corrected=False, mask=None):
     return cavi_step_block(state, obs, pri, params, structure, lr,
-                           num_blocks, corrected)
+                           num_blocks, corrected, mask=mask)
 
 
 # ---------------------------------------------------------------------------
@@ -857,7 +968,8 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
              corrected: bool = False, elbo_every: int = 1,
              mixed_precision: bool = False,
              diag_mode: str = "exact", fused: bool | str = "auto",
-             carry_elbo=None, carry_patience=0) -> FitResult:
+             carry_elbo=None, carry_patience=0,
+             mask: Optional[Array] = None) -> FitResult:
     """Run damped CAVI to convergence inside a single compiled loop.
 
     Convergence rule mirrors the reference trainer (``base.py:170-203``):
@@ -905,6 +1017,19 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     iterations, freezing state/histories after convergence instead of
     exiting early.  ``TAME_DISABLE_FUSED_FIT=1`` disables globally.
 
+    ``mask`` enables missing-data fits: an (n, n, T) dyad observation
+    mask (1 = observed, 0 = missing; symmetric with zero diagonal — both
+    directions of a dyad live in one ``Y[i, j, t]`` entry and are observed
+    together).  Masked entries of ``Y`` are never read: the dyad weights
+    are zeroed before the constant row sums, the observation precision is
+    assembled from per-node masked partner statistics
+    (:func:`_masked_obs_precision`), and the ELBO/MSE diagnostics run over
+    observed dyads only.  Supported with update modes ``jacobi``/``block``
+    and ``diag_mode='exact'``; the megakernel and the sufficient-statistics
+    diagnostics assume a complete network and are bypassed.  No reference
+    counterpart (complete networks only, ``naive_mf.py:324-374``);
+    build masks with :func:`tame.models.random_dyad_mask` or from data.
+
     ``carry_elbo``/``carry_patience`` seed the convergence bookkeeping
     (last evaluated ELBO and consecutive-small-change count) from a prior
     segment's ``FitResult.last_elbo``/``.pat_count``, so a fit run in
@@ -923,6 +1048,23 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     """
     if diag_mode not in ("exact", "stats"):
         raise ValueError(f"unknown diag_mode: {diag_mode!r}")
+    if mask is not None:
+        # Missing-data fit: observation terms restricted to observed
+        # dyads (``mask`` (n, n, T), 1 = observed, symmetric, zero
+        # diagonal — the reference supports complete networks only).
+        if update_mode not in ("jacobi", "block"):
+            raise ValueError(
+                "mask is supported with update_mode 'jacobi' or 'block'")
+        if diag_mode != "exact":
+            raise ValueError(
+                "mask requires diag_mode='exact' (the sufficient-"
+                "statistics diagnostics expansion assumes a complete "
+                "network)")
+        fused = False  # the megakernel assembles complete-network stats
+        # Zero the diagonal defensively; symmetry is the caller's contract
+        # (each unordered dyad carries both directions in Y[i, j]).
+        mask = jnp.asarray(mask, Y.dtype)
+        mask = mask * (1.0 - jnp.eye(Y.shape[0], dtype=Y.dtype)[:, :, None])
     if corrected and update_mode == "seq":
         raise ValueError(
             "corrected=True is not supported with update_mode='seq' "
@@ -1007,7 +1149,8 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                           num_blocks=num_blocks, corrected=corrected,
                           elbo_every=elbo_every,
                           mixed_precision=mixed_precision,
-                          diag_mode=diag_mode, dual_diag=dual_diag)
+                          diag_mode=diag_mode, dual_diag=dual_diag,
+                          mask=mask)
 
 
 @functools.partial(jax.jit, static_argnames=("structure", "update_mode",
@@ -1022,23 +1165,29 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
                    *, structure: str, update_mode: str, buf_size: int,
                    patience: int, num_blocks, corrected: bool,
                    elbo_every: int, mixed_precision: bool,
-                   diag_mode: str, dual_diag: bool = False) -> FitResult:
+                   diag_mode: str, dual_diag: bool = False,
+                   mask: Optional[Array] = None) -> FitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
     lr = learning_rate
     tol = tolerance
 
+    # Missing dyads contribute nothing to the data-side statistics: the
+    # dyad weights are zeroed before the (constant) row sums, so masked
+    # entries of Y are never read by the fit.
+    Y_w = Y * mask[..., None] if mask is not None else Y
     obs = precompute_obs_constants(
-        Y, params.R_inv,
+        Y_w, params.R_inv,
         w_dtype=jnp.bfloat16 if mixed_precision else None)
     pri = precompute_priors(params)
     if update_mode == "jacobi":
-        step_fn = functools.partial(cavi_step_jacobi, corrected=corrected)
+        step_fn = functools.partial(cavi_step_jacobi, corrected=corrected,
+                                    mask=mask)
     elif update_mode == "block":
         step_fn = functools.partial(cavi_step_block_wrapper,
                                     num_blocks=num_blocks,
-                                    corrected=corrected)
+                                    corrected=corrected, mask=mask)
     else:
         step_fn = cavi_step_seq
 
@@ -1053,12 +1202,27 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
     # weight tensors — the remaining HBM lever at scale (README).
     dc = (precompute_diag_constants(Y, dual_diag=dual_diag)
           if diag_mode == "stats" else None)
+    if mask is not None:
+        mask_stats = (0.5 * jnp.sum(mask),
+                      mask.astype(jnp.float32).sum(1))
+        n_obs_ordered = jnp.maximum(jnp.sum(mask), 1.0)
+    else:
+        mask_stats = None
 
     def diagnostics(state):
         if diag_mode == "stats":
             # Sufficient-statistics path: no O(n^2 T) reads.
             sq, cross = _residual_stats_from_moments(
                 dc, obs, state.X_mean, r, params.R_inv)
+        elif mask is not None:
+            # Masked residuals: observed dyads only (mask is symmetric,
+            # so the cross term pairs observed entries with observed).
+            fwd = dyad_ops.dyadic_fwd_temporal(state.X_mean, r)
+            e0 = (Y[..., 0] - fwd) * mask
+            sq = jnp.sum(e0 * e0)
+            cross = jnp.einsum("ijt,jit->", e0, e0,
+                               preferred_element_type=jnp.float32,
+                               precision=HIGHEST)
         else:
             # Fwd-half residual statistics: same values as the
             # stacked-mean path (reciprocity invariant) at half the
@@ -1067,8 +1231,12 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
             sq, cross = dyad_ops.residual_stats_from_fwd(Y, fwd)
         p_, q_ = params.R_inv[0, 0], params.R_inv[0, 1]
         quad_sum = p_ * sq + q_ * cross
-        elbo = _elbo_from_quad(quad_sum, params, pri, state, structure)
-        mse = 2.0 * sq / (n * (n - 1) * T)
+        elbo = _elbo_from_quad(quad_sum, params, pri, state, structure,
+                               mask_stats=mask_stats)
+        if mask is not None:
+            mse = 2.0 * sq / n_obs_ordered
+        else:
+            mse = 2.0 * sq / (n * (n - 1) * T)
         return elbo, mse
 
     def body(carry):

@@ -49,7 +49,8 @@ class TemporalAMECaviVI:
                  cov_init_scale: float = 0.5, seed: int = 42,
                  update_mode: str = "block", num_blocks=None,
                  corrected: bool = False, mixed_precision: bool = False,
-                 diag_mode: str = "exact", init_mode: str = "random"):
+                 diag_mode: str = "exact", init_mode: str = "random",
+                 mask=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -70,6 +71,10 @@ class TemporalAMECaviVI:
         self.corrected = corrected
         self.mixed_precision = mixed_precision
         self.diag_mode = diag_mode
+        # Missing-data support (beyond the reference): (n, n, T) dyad
+        # observation mask, threaded into every fit_cavi call.  See
+        # cavi.fit_cavi / tame.models.random_dyad_mask.
+        self.mask = None if mask is None else jnp.asarray(mask)
         self.params: AMEParams = model.params
 
         self.history: Dict[str, List[float]] = {
@@ -83,8 +88,14 @@ class TemporalAMECaviVI:
             # Data-driven warm start (cavi.warm_init_state): closed-form
             # additive effects + top-r subspace of the residual — lands
             # inside the basin at a fraction of the iterations.
+            # Under a mask, warm-start from the zero-filled network so
+            # missing entries are never read (zero is the additive
+            # model's neutral element for the row/col means up to the
+            # observed-count normalization — adequate for an init).
+            Y_init = (self.Y if self.mask is None
+                      else self.Y * self.mask[..., None])
             state = cavi.warm_init_state(
-                self.Y, self.params, structure=self.structure,
+                Y_init, self.params, structure=self.structure,
                 cov_init_scale=cov_init_scale,
                 key=jax.random.PRNGKey(seed))
         elif init_mode == "random":
@@ -191,7 +202,7 @@ class TemporalAMECaviVI:
                 max_iter=seg, learning_rate=self.lr, tolerance=tolerance,
                 num_blocks=self.num_blocks, corrected=self.corrected,
                 mixed_precision=self.mixed_precision,
-                diag_mode=self.diag_mode,
+                diag_mode=self.diag_mode, mask=self.mask,
                 carry_elbo=self._carry_elbo, carry_patience=self._carry_pat)
             result = jax.block_until_ready(result)
 
@@ -338,12 +349,13 @@ class TemporalAMENaiveMFVI(TemporalAMECaviVI):
                  init_scale: float = 0.1, seed: int = 42,
                  update_mode: str = "block", corrected: bool = False,
                  mixed_precision: bool = False, diag_mode: str = "exact",
-                 init_mode: str = "random"):
+                 init_mode: str = "random", mask=None):
         super().__init__(model, structure="diag",
                          learning_rate=learning_rate, init_scale=init_scale,
                          seed=seed, update_mode=update_mode,
                          corrected=corrected, mixed_precision=mixed_precision,
-                         diag_mode=diag_mode, init_mode=init_mode)
+                         diag_mode=diag_mode, init_mode=init_mode,
+                         mask=mask)
 
 
 class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
@@ -360,7 +372,7 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
                  cov_init_scale: float = 0.5, seed: int = 42,
                  update_mode: str = "block", corrected: bool = False,
                  mixed_precision: bool = False, diag_mode: str = "exact",
-                 init_mode: str = "random"):
+                 init_mode: str = "random", mask=None):
         if factorization not in ("good", "bad"):
             raise ValueError(f"Unknown factorization '{factorization}'")
         self.factorization = factorization
@@ -370,7 +382,8 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
                          cov_init_scale=cov_init_scale, seed=seed,
                          update_mode=update_mode, corrected=corrected,
                          mixed_precision=mixed_precision,
-                         diag_mode=diag_mode, init_mode=init_mode)
+                         diag_mode=diag_mode, init_mode=init_mode,
+                         mask=mask)
 
     def get_factorization_type(self) -> str:
         return self.factorization

@@ -5,6 +5,7 @@ from tame.models.params import AMEParams, build_params
 from tame.models.static_ame import StaticAMEModel, sample_static
 from tame.models.temporal_ame import (
     TemporalAMEModel,
+    random_dyad_mask,
     sample,
     sample_latents,
     sample_observations,
@@ -14,6 +15,7 @@ __all__ = [
     "AMEParams",
     "BaseAMEModel",
     "build_params",
+    "random_dyad_mask",
     "StaticAMEModel",
     "TemporalAMEModel",
     "sample",

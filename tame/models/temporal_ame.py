@@ -81,6 +81,25 @@ def sample(params: AMEParams, key: Array, n: int, T: int
     return Y, X
 
 
+def random_dyad_mask(key: Array, n: int, T: int,
+                     missing_frac: float) -> Array:
+    """Random missing-at-random dyad observation mask.
+
+    Each unordered dyad (i, j) at each time t is observed with probability
+    ``1 - missing_frac``; the mask is symmetric (both directions of a dyad
+    are stored in one ``Y[i, j, t]`` entry, so they are observed together)
+    with zero diagonal.  Feed to ``fit_cavi(..., mask=...)`` / the engine
+    classes' ``mask=`` — missing-data support the reference lacks (its
+    update loops assume a complete network, ``naive_mf.py:324-374``).
+
+    Returns a float32 ``(n, n, T)`` array of {0.0, 1.0}.
+    """
+    u = jax.random.uniform(key, (n, n, T))
+    upper = jnp.triu(jnp.ones((n, n)), k=1)[:, :, None]
+    keep = (u > missing_frac).astype(jnp.float32) * upper
+    return keep + jnp.swapaxes(keep, 0, 1)
+
+
 # ---------------------------------------------------------------------------
 # Reference-compatible class surface
 # ---------------------------------------------------------------------------

@@ -815,3 +815,98 @@ class TestFusedFit:
         out = cavi.fit_cavi(Y, model.params, init, max_iter=3,
                             learning_rate=0.7, tolerance=0.0)
         assert int(out.n_iter) == 3  # unfused path ran (fast on CPU)
+
+
+class TestMaskedFit:
+    """Missing-data (masked-dyad) fits — a capability beyond the reference
+    (its update loops assume a complete network, ``naive_mf.py:324-374``).
+    Masked entries of Y must be *invisible* to the fit, and a full mask
+    must reproduce the complete-network fit."""
+
+    def _setup(self, n=12, T=5, r=2, seed=0):
+        model = TemporalAMEModel(n_nodes=n, n_time=T, latent_dim=r,
+                                 seed=seed)
+        Y, _ = model.generate_data(return_latents=True)
+        init = cavi.init_state(jax.random.PRNGKey(1), n, T, 2 + 2 * r,
+                               "full", 0.1, 0.5)
+        return model, jnp.asarray(Y), init
+
+    @pytest.mark.parametrize("update_mode", ["jacobi", "block"])
+    def test_full_mask_matches_unmasked(self, update_mode):
+        model, Y, init = self._setup()
+        n, T = Y.shape[0], Y.shape[2]
+        full = (1.0 - jnp.eye(n))[:, :, None] * jnp.ones((n, n, T))
+        kw = dict(structure="full", max_iter=40, learning_rate=0.7,
+                  tolerance=0.0, update_mode=update_mode)
+        if update_mode == "block":
+            kw["num_blocks"] = 4
+        a = cavi.fit_cavi(Y, model.params, init, **kw)
+        b = cavi.fit_cavi(Y, model.params, init, mask=full, **kw)
+        assert np.allclose(np.asarray(a.X_mean), np.asarray(b.X_mean),
+                           atol=1e-4)
+        ea = np.asarray(a.elbo_history)[:40]
+        eb = np.asarray(b.elbo_history)[:40]
+        assert np.max(np.abs((ea - eb) / ea)) < 1e-4
+
+    def test_masked_entries_never_read(self):
+        """Filling the hidden dyads with garbage must not change one bit
+        of the fit."""
+        from tame.models import random_dyad_mask
+
+        model, Y, init = self._setup()
+        mask = random_dyad_mask(jax.random.PRNGKey(7), 12, 5, 0.3)
+        Yg = jnp.where(mask[..., None] == 0, 1e6, Y)
+        kw = dict(structure="full", max_iter=40, learning_rate=0.7,
+                  tolerance=0.0, update_mode="jacobi")
+        c = cavi.fit_cavi(Y, model.params, init, mask=mask, **kw)
+        d = cavi.fit_cavi(Yg, model.params, init, mask=mask, **kw)
+        assert np.array_equal(np.asarray(c.X_mean), np.asarray(d.X_mean))
+        assert np.array_equal(np.asarray(c.elbo_history)[:40],
+                              np.asarray(d.elbo_history)[:40])
+
+    def test_heldout_recovery(self):
+        """Fitting on 70% of dyads must still recover the held-out 30%:
+        held-out recon MSE within 2x of the observed-dyad MSE and far
+        below the data variance."""
+        from tame.models import random_dyad_mask
+        from tame.ops import dyad as dyad_ops
+
+        model, Y, init = self._setup(n=16, T=6, seed=3)
+        mask = random_dyad_mask(jax.random.PRNGKey(11), 16, 6, 0.3)
+        out = cavi.fit_cavi(Y, model.params, init, structure="full",
+                            update_mode="block", num_blocks=4, mask=mask,
+                            corrected=True, max_iter=120,
+                            learning_rate=0.8, tolerance=0.0)
+        fwd = dyad_ops.dyadic_fwd_temporal(out.X_mean, 2)
+        e2 = np.asarray((Y[..., 0] - fwd) ** 2)
+        m = np.asarray(mask)
+        off = np.asarray((1.0 - jnp.eye(16))[:, :, None]
+                         * jnp.ones((16, 16, 6)))
+        held = off * (1.0 - m)
+        mse_obs = (e2 * m).sum() / m.sum()
+        mse_held = (e2 * held).sum() / held.sum()
+        var_y = float(np.var(np.asarray(Y[..., 0])[off > 0]))
+        assert mse_held < 2.0 * mse_obs + 0.05
+        assert mse_held < 0.5 * var_y
+
+    def test_masked_engine_and_corrected(self):
+        from tame.inference import TemporalAMEStructuredMFVI
+        from tame.models import random_dyad_mask
+
+        model, Y, init = self._setup()
+        mask = random_dyad_mask(jax.random.PRNGKey(2), 12, 5, 0.25)
+        vi = TemporalAMEStructuredMFVI(model, factorization="good",
+                                       learning_rate=0.7, mask=mask)
+        h = vi.fit(max_iter=30, tolerance=0.0, verbose=False)
+        assert len(h["elbo"]) == 30
+        assert np.isfinite(h["elbo"]).all()
+
+    def test_masked_rejects_unsupported_modes(self):
+        model, Y, init = self._setup(n=8, T=4)
+        mask = jnp.ones((8, 8, 4))
+        with pytest.raises(ValueError, match="mask is supported"):
+            cavi.fit_cavi(Y, model.params, init, update_mode="seq",
+                          mask=mask)
+        with pytest.raises(ValueError, match="diag_mode='exact'"):
+            cavi.fit_cavi(Y, model.params, init, diag_mode="stats",
+                          update_mode="jacobi", mask=mask)
