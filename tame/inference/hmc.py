@@ -175,11 +175,13 @@ def run_hmc(logdensity_fn: Callable, init_position: Array, key: Array, *,
 
 def precondition_from_cavi(Y, params, structure: str = "full",
                            warm_iters: int = 50, learning_rate: float = 0.5,
-                           seed: int = 0):
+                           seed: int = 0, mask=None):
     """Run a short CAVI fit and return ``(init_position, inv_mass)``:
     the variational means as the chain start and the variational variances
     as the diagonal inverse mass.  CAVI costs a handful of iterations and
-    removes the need for covariance adaptation during warmup."""
+    removes the need for covariance adaptation during warmup.  ``mask``
+    makes the warm fit a masked (missing-data) fit so hidden entries of
+    ``Y`` are never read."""
     from tame.inference import cavi
 
     n, _, T, _ = Y.shape
@@ -188,7 +190,7 @@ def precondition_from_cavi(Y, params, structure: str = "full",
                            0.1, 0.5)
     out = cavi.fit_cavi(Y, params, init, structure=structure,
                         update_mode="jacobi", max_iter=warm_iters,
-                        learning_rate=learning_rate)
+                        learning_rate=learning_rate, mask=mask)
     variances = jnp.diagonal(out.X_cov, axis1=-2, axis2=-1)  # (n, T, d)
     return out.X_mean, jnp.clip(variances, 1e-6, None)
 
@@ -201,7 +203,8 @@ class TemporalAMEHMC:
     """
 
     def __init__(self, model, num_chains: int = 4, num_leapfrog: int = 16,
-                 seed: int = 0, precondition: bool = True):
+                 seed: int = 0, precondition: bool = True,
+                 mask=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -214,7 +217,12 @@ class TemporalAMEHMC:
 
         from tame.inference.logprob import make_logdensity_fn
 
-        self._logdensity = make_logdensity_fn(model.params, self.Y)
+        # Optional (n, n, T) dyad observation mask: the target becomes
+        # the missing-data posterior (observed dyads only), matching the
+        # masked CAVI engines' surface.
+        self.mask = None if mask is None else jnp.asarray(mask)
+        self._logdensity = make_logdensity_fn(model.params, self.Y,
+                                              obs_mask=self.mask)
 
     def sample(self, num_warmup: int = 200, num_samples: int = 200,
                thin: int = 1, mesh=None) -> HMCSamples:
@@ -230,7 +238,8 @@ class TemporalAMEHMC:
 
         if self.precondition:
             center, inv_mass = precondition_from_cavi(
-                self.Y, self.model.params, seed=self.seed)
+                self.Y, self.model.params, seed=self.seed,
+                mask=self.mask)
         else:
             center = jnp.zeros((self.model.n, self.model.T, self.model.d))
             inv_mass = jnp.ones_like(center)

@@ -76,9 +76,15 @@ def log_prior(params: AMEParams, X: Array,
 
 
 def log_likelihood(params: AMEParams, Y: Array, X: Array,
-                   consts: LogProbConstants | None = None) -> Array:
+                   consts: LogProbConstants | None = None,
+                   obs_mask: Array | None = None) -> Array:
     """log p(Y | X): Gaussian dyad likelihood over unordered pairs i < j
-    and all t.  ``Y``: (n, n, T, 2), ``X``: (n, T, d)."""
+    and all t.  ``Y``: (n, n, T, 2), ``X``: (n, T, d).
+
+    ``obs_mask`` (n, n, T; symmetric, zero diagonal) restricts the
+    likelihood to observed dyads — the missing-data surface shared with
+    ``fit_cavi(mask=...)``; masked entries of Y are never read.
+    """
     if consts is None:
         consts = precompute(params)
     n, T, d = X.shape
@@ -88,26 +94,40 @@ def log_likelihood(params: AMEParams, Y: Array, X: Array,
     quad = jnp.einsum("ijta,ab,ijtb->ijt", resid, consts.R_inv, resid,
                       preferred_element_type=jnp.float32,
                       precision=HIGHEST)
-    mask = dyad_ops.offdiag_mask(n)[:, :, None]
+    if obs_mask is None:
+        mask = dyad_ops.offdiag_mask(n)[:, :, None]
+        n_dyads = jnp.asarray(n * (n - 1) // 2 * T, quad.dtype)
+    else:
+        mask = obs_mask * dyad_ops.offdiag_mask(n)[:, :, None]
+        n_dyads = 0.5 * jnp.sum(mask)
     quad_sum = 0.5 * jnp.sum(quad * mask)  # i<j sum = half the offdiag sum
-    n_dyads = n * (n - 1) // 2 * T
     return -0.5 * (quad_sum + n_dyads * (consts.logdet_R + 2.0 * _LOG2PI))
 
 
 def log_joint(params: AMEParams, Y: Array, X: Array,
-              consts: LogProbConstants | None = None) -> Array:
+              consts: LogProbConstants | None = None,
+              obs_mask: Array | None = None) -> Array:
     """log p(Y, X) — the HMC/SMC target up to the constant log p(Y)."""
     if consts is None:
         consts = precompute(params)
     return (log_prior(params, X, consts)
-            + log_likelihood(params, Y, X, consts))
+            + log_likelihood(params, Y, X, consts, obs_mask=obs_mask))
 
 
-def make_logdensity_fn(params: AMEParams, Y: Array):
-    """Close over data: return ``X -> log p(Y, X)`` for samplers."""
+def make_logdensity_fn(params: AMEParams, Y: Array,
+                       obs_mask: Array | None = None):
+    """Close over data: return ``X -> log p(Y, X)`` for samplers.
+
+    ``obs_mask`` makes the target a missing-data posterior (observed
+    dyads only) — the samplers then draw from the same posterior the
+    masked CAVI engines approximate.
+    """
     consts = precompute(params)
+    if obs_mask is not None:
+        obs_mask = obs_mask * (
+            1.0 - jnp.eye(Y.shape[0], dtype=Y.dtype)[:, :, None])
 
     def logdensity(X: Array) -> Array:
-        return log_joint(params, Y, X, consts)
+        return log_joint(params, Y, X, consts, obs_mask=obs_mask)
 
     return logdensity

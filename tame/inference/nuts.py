@@ -301,7 +301,8 @@ class TemporalAMENUTS:
     matches :class:`tame.inference.hmc.TemporalAMEHMC`)."""
 
     def __init__(self, model, num_chains: int = 4, max_depth: int = 8,
-                 seed: int = 0, precondition: bool = True):
+                 seed: int = 0, precondition: bool = True,
+                 mask=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -314,7 +315,12 @@ class TemporalAMENUTS:
 
         from tame.inference.logprob import make_logdensity_fn
 
-        self._logdensity = make_logdensity_fn(model.params, self.Y)
+        # Optional (n, n, T) dyad observation mask: the target becomes
+        # the missing-data posterior (observed dyads only), matching the
+        # masked CAVI engines' surface.
+        self.mask = None if mask is None else jnp.asarray(mask)
+        self._logdensity = make_logdensity_fn(model.params, self.Y,
+                                              obs_mask=self.mask)
 
     def sample(self, num_warmup: int = 200, num_samples: int = 200,
                mesh=None) -> HMCSamples:
@@ -326,7 +332,8 @@ class TemporalAMENUTS:
         k_init, k_chains = jax.random.split(key)
         if self.precondition:
             center, inv_mass = precondition_from_cavi(
-                self.Y, self.model.params, seed=self.seed)
+                self.Y, self.model.params, seed=self.seed,
+                mask=self.mask)
         else:
             center = jnp.zeros((self.model.n, self.model.T, self.model.d))
             inv_mass = jnp.ones_like(center)

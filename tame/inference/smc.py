@@ -59,11 +59,14 @@ def run_smc(params: AMEParams, Y: Array, key: Array, *,
             num_particles: int = 256, num_stages: int = 20,
             num_moves: int = 3, step_scale: float = 0.15,
             ess_threshold: float = 0.5,
-            proposal_scale: Optional[Array] = None) -> SMCResult:
+            proposal_scale: Optional[Array] = None,
+            obs_mask: Optional[Array] = None) -> SMCResult:
     """Run tempered SMC; see module docstring.
 
     ``proposal_scale``: per-coordinate random-walk scale (n, T, d); defaults
-    to the stationary prior marginal scale.
+    to the stationary prior marginal scale.  ``obs_mask`` targets the
+    missing-data posterior (observed dyads only; the surface shared with
+    the masked CAVI engines and HMC/NUTS).
     """
     consts = precompute(params)
     n, _, T, _ = Y.shape
@@ -78,14 +81,16 @@ def run_smc(params: AMEParams, Y: Array, key: Array, *,
         lambda k: sample_latents(params, k, n, T)
     )(jax.random.split(k_init, num_particles))               # (N, n, T, d)
 
-    loglik = jax.vmap(lambda X: log_likelihood(params, Y, X, consts))
+    loglik = jax.vmap(
+        lambda X: log_likelihood(params, Y, X, consts, obs_mask=obs_mask))
     logpri = jax.vmap(lambda X: log_prior(params, X, consts))
 
     betas = jnp.linspace(0.0, 1.0, num_stages + 1)
 
     def tempered_logp(X, beta):
         return (log_prior(params, X, consts)
-                + beta * log_likelihood(params, Y, X, consts))
+                + beta * log_likelihood(params, Y, X, consts,
+                                        obs_mask=obs_mask))
 
     def mh_move(key, X, beta):
         """One random-walk MH step on a single particle."""
@@ -150,7 +155,7 @@ class TemporalAMESMC:
 
     def __init__(self, model, num_particles: int = 256,
                  num_stages: int = 20, num_moves: int = 3, seed: int = 0,
-                 precondition: bool = True):
+                 precondition: bool = True, mask=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -161,6 +166,8 @@ class TemporalAMESMC:
         self.num_moves = num_moves
         self.seed = seed
         self.precondition = precondition
+        # Optional dyad observation mask (missing-data posterior).
+        self.mask = None if mask is None else jnp.asarray(mask)
 
     def sample(self, mesh=None) -> SMCResult:
         """Run the tempered-SMC sweep.
@@ -177,7 +184,8 @@ class TemporalAMESMC:
             from tame.inference.hmc import precondition_from_cavi
 
             _, variances = precondition_from_cavi(
-                self.Y, self.model.params, seed=self.seed)
+                self.Y, self.model.params, seed=self.seed,
+                mask=self.mask)
             proposal_scale = jnp.sqrt(variances)
         key = jax.random.PRNGKey(self.seed)
         if mesh is not None:
@@ -198,12 +206,14 @@ class TemporalAMESMC:
                                   num_moves=self.num_moves),
                 out_shardings=out_shardings)
             return run(self.model.params, Y, key,
-                       proposal_scale=proposal_scale)
+                       proposal_scale=proposal_scale,
+                       obs_mask=self.mask)
         return run_smc(self.model.params, self.Y, key,
                        num_particles=self.num_particles,
                        num_stages=self.num_stages,
                        num_moves=self.num_moves,
-                       proposal_scale=proposal_scale)
+                       proposal_scale=proposal_scale,
+                       obs_mask=self.mask)
 
     def posterior_mean(self, result: SMCResult) -> Array:
         w = jax.nn.softmax(result.log_weights)

@@ -368,3 +368,45 @@ class TestChainDiagnostics:
                              "logdensity_rhat"}
         assert diag["max_rhat"] > 0.9
         assert 0 < diag["min_ess"] <= 2 * 40
+
+
+class TestMaskedLogProb:
+    """Missing-data posterior surface shared with the masked CAVI engines:
+    obs_mask on log_likelihood / samplers (no reference counterpart)."""
+
+    def test_full_mask_matches_unmasked(self, tiny):
+        model, Y, X = tiny
+        from tame.inference.logprob import log_likelihood
+
+        n, T = Y.shape[0], Y.shape[2]
+        full = (1.0 - jnp.eye(n))[:, :, None] * jnp.ones((n, n, T))
+        a = float(log_likelihood(model.params, Y, jnp.asarray(X)))
+        b = float(log_likelihood(model.params, Y, jnp.asarray(X),
+                                 obs_mask=full))
+        assert np.isclose(a, b, rtol=1e-6)
+
+    def test_masked_entries_never_read(self, tiny):
+        model, Y, X = tiny
+        from tame.inference.logprob import log_likelihood
+        from tame.models import random_dyad_mask
+
+        n, T = Y.shape[0], Y.shape[2]
+        mask = random_dyad_mask(jax.random.PRNGKey(3), n, T, 0.4)
+        Yg = jnp.where(mask[..., None] == 0, 1e6, Y)
+        a = float(log_likelihood(model.params, Y, jnp.asarray(X),
+                                 obs_mask=mask))
+        b = float(log_likelihood(model.params, Yg, jnp.asarray(X),
+                                 obs_mask=mask))
+        assert a == b
+
+    def test_masked_hmc_runs(self, tiny):
+        model, Y, X = tiny
+        from tame.models import random_dyad_mask
+
+        n, T = Y.shape[0], Y.shape[2]
+        mask = random_dyad_mask(jax.random.PRNGKey(4), n, T, 0.3)
+        hmc = TemporalAMEHMC(model, num_chains=2, num_leapfrog=5, seed=1,
+                             mask=mask)
+        out = hmc.sample(num_warmup=15, num_samples=15)
+        assert bool(jnp.all(jnp.isfinite(out.positions)))
+        assert bool(jnp.all(jnp.isfinite(out.logdensities)))
