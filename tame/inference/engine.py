@@ -330,6 +330,79 @@ class TemporalAMECaviVI:
                                 length=n_steps)
         return jnp.swapaxes(preds, 0, 1)  # (n, n_steps, d)
 
+    def predict_forward_with_cov(self, n_steps: int = 1):
+        """State forecast with uncertainty (beyond the reference, whose
+        ``predict_forward`` returns means only).
+
+        Propagates the posterior ``N(mu_T, Sigma_T)`` of the last fitted
+        state through the AR(1) dynamics:
+
+            mu_{T+h}    = Phi^h mu_T
+            Sigma_{T+h} = Phi Sigma_{T+h-1} Phi' + Q
+
+        Returns ``(means (n, n_steps, d), covs (n, n_steps, d, d))``.
+        """
+        Phi, Q = self.params.Phi, self.params.Q
+
+        def step(carry, _):
+            mu, Sig = carry
+            mu = mu @ Phi.T
+            Sig = jnp.einsum("ab,ibc,dc->iad", Phi, Sig, Phi,
+                             precision=jax.lax.Precision.HIGHEST) + Q
+            return (mu, Sig), (mu, Sig)
+
+        _, (mus, Sigs) = jax.lax.scan(
+            step, (self.X_mean[:, -1], self.X_cov[:, -1]), None,
+            length=n_steps)
+        return jnp.swapaxes(mus, 0, 1), jnp.swapaxes(Sigs, 0, 1)
+
+    def predict_dyads(self, n_steps: int = 1):
+        """Dyadic forecast with per-entry predictive standard deviations.
+
+        Combines the state forecast (:meth:`predict_forward_with_cov`)
+        with a delta-method variance for each dyad entry
+
+            y_ij = a_i + b_j + U_i . V_j + eps,
+
+        treating nodes as posterior-independent (the mean-field family):
+
+            var(y_ij) = J_i Sigma_i J_i' + J_j Sigma_j J_j' + R[0, 0]
+
+        with ``J_i = [1, 0, V_j, 0]`` and ``J_j = [0, 1, 0, U_i]``
+        evaluated at the forecast means.  Returns ``(mean, std)`` of shape
+        ``(n, n, n_steps, 2)`` — feed to
+        :func:`tame.utils.metrics.calibration_error` /
+        :func:`compute_coverage` for calibrated-forecast evaluation, a
+        capability the reference's metrics define but nothing there
+        produces (``metrics.py:350-462``).
+        """
+        from tame.ops import dyad as dyad_ops
+
+        mus, Sigs = self.predict_forward_with_cov(n_steps)
+        r = self.r
+        mean = dyad_ops.dyadic_mean_temporal(mus, r)  # (n, n, H, 2)
+        _, _, U, V = dyad_ops.split_state(mus, r)     # (n, H, r)
+        # Quadratic-form pieces of the sender (i) factor against V_j ...
+        A = Sigs[..., 0, 0]                           # (n, H)
+        B = Sigs[..., 0, 2:2 + r]                     # (n, H, r)
+        C = Sigs[..., 2:2 + r, 2:2 + r]               # (n, H, r, r)
+        # ... and the receiver (j) factor against U_i.
+        Ar = Sigs[..., 1, 1]
+        Br = Sigs[..., 1, 2 + r:]
+        Cr = Sigs[..., 2 + r:, 2 + r:]
+        hi = jax.lax.Precision.HIGHEST
+        var0 = (A[:, None] + Ar[None]
+                + 2.0 * jnp.einsum("ihr,jhr->ijh", B, V, precision=hi)
+                + jnp.einsum("jhr,ihrs,jhs->ijh", V, C, V, precision=hi)
+                + 2.0 * jnp.einsum("jhr,ihr->ijh", Br, U, precision=hi)
+                + jnp.einsum("ihr,jhrs,ihs->ijh", U, Cr, U, precision=hi)
+                + self.params.R[0, 0])
+        # Component 1 of dyad (i, j) is y_ji: its variance is var0 with
+        # the roles swapped.
+        std = jnp.sqrt(jnp.maximum(
+            jnp.stack([var0, jnp.swapaxes(var0, 0, 1)], axis=-1), 1e-12))
+        return mean, std
+
 
 # Reference-surface aliases (reference ``src/inference/__init__.py:45-57``
 # exports BaseVariationalInference / BaseTemporalVariationalInference): the

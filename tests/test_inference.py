@@ -910,3 +910,106 @@ class TestMaskedFit:
         with pytest.raises(ValueError, match="diag_mode='exact'"):
             cavi.fit_cavi(Y, model.params, init, diag_mode="stats",
                           update_mode="jacobi", mask=mask)
+
+
+class TestForecastUncertainty:
+    """predict_forward_with_cov / predict_dyads — forecasting with
+    calibrated uncertainty (the reference's predict_forward returns means
+    only, naive_mf.py:386-396; its calibration/coverage metrics have no
+    producer)."""
+
+    def _fitted(self):
+        model = TemporalAMEModel(n_nodes=10, n_time=6, latent_dim=1,
+                                 seed=4)
+        model.generate_data()
+        from tame.inference import TemporalAMEStructuredMFVI
+
+        vi = TemporalAMEStructuredMFVI(model, factorization="good",
+                                       learning_rate=0.8)
+        vi.fit(max_iter=60, tolerance=0.0, verbose=False)
+        return model, vi
+
+    def test_shapes_and_symmetry(self):
+        model, vi = self._fitted()
+        mus, Sigs = vi.predict_forward_with_cov(3)
+        assert mus.shape == (10, 3, 4) and Sigs.shape == (10, 3, 4, 4)
+        # covariance grows toward the stationary value, stays SPD
+        assert np.all(np.linalg.eigvalsh(np.asarray(Sigs)) > 0)
+        mean, std = vi.predict_dyads(3)
+        assert mean.shape == (10, 10, 3, 2) and std.shape == mean.shape
+        assert np.all(np.asarray(std) > 0)
+        # component 1 of dyad (i,j) is y_ji: std must be the swap
+        s = np.asarray(std)
+        assert np.allclose(s[..., 1], np.swapaxes(s[..., 0], 0, 1))
+
+    def test_variance_matches_monte_carlo(self):
+        """Delta-method predictive std vs 4000-sample Monte Carlo of the
+        exact forecast distribution (state draw -> AR step -> dyad mean
+        -> dyadic noise)."""
+        model, vi = self._fitted()
+        params = model.params
+        n, d, r = 10, 4, 1
+        mu_T = np.asarray(vi.X_mean[:, -1])
+        Sig_T = np.asarray(vi.X_cov[:, -1])
+        rng = np.random.default_rng(0)
+        S = 4000
+        chol = np.linalg.cholesky(
+            Sig_T + 1e-9 * np.eye(d))                  # (n, d, d)
+        xT = mu_T[None] + np.einsum(
+            "ids,nis->nid", chol, rng.standard_normal((S, n, d)))
+        Phi, Q = np.asarray(params.Phi), np.asarray(params.Q)
+        w = np.einsum("ds,nis->nid", np.linalg.cholesky(Q),
+                      rng.standard_normal((S, n, d)))
+        x1 = xT @ Phi.T + w                            # (S, n, d)
+        a, b = x1[..., 0], x1[..., 1]
+        U, V = x1[..., 2:2 + r], x1[..., 2 + r:]
+        mu_dyad = (a[:, :, None] + b[:, None, :]
+                   + np.einsum("sir,sjr->sij", U, V))  # y_ij mean draws
+        R00 = float(np.asarray(params.R)[0, 0])
+        emp_var = mu_dyad.var(axis=0) + R00            # (n, n)
+
+        mean, std = vi.predict_dyads(1)
+        pred_var = np.asarray(std[..., 0, 0]) ** 2     # (n, n) at h=1
+        off = ~np.eye(10, dtype=bool)
+        rel = np.abs(pred_var[off] - emp_var[off]) / emp_var[off]
+        # delta method is exact for the additive part and first-order in
+        # the bilinear term; agreement should be tight on average
+        assert np.median(rel) < 0.1
+        assert np.mean(rel) < 0.2
+
+    def test_coverage_near_nominal(self):
+        """90% predictive intervals from predict_dyads cover ~90% of
+        exact forecast-distribution draws."""
+        from tame.utils.metrics import compute_coverage
+
+        model, vi = self._fitted()
+        mean, std = vi.predict_dyads(1)
+        m0 = np.asarray(mean[..., 0, 0])
+        s0 = np.asarray(std[..., 0, 0])
+        params = model.params
+        n, d, r = 10, 4, 1
+        rng = np.random.default_rng(1)
+        S = 500
+        mu_T = np.asarray(vi.X_mean[:, -1])
+        Sig_T = np.asarray(vi.X_cov[:, -1])
+        chol = np.linalg.cholesky(Sig_T + 1e-9 * np.eye(d))
+        xT = mu_T[None] + np.einsum(
+            "ids,nis->nid", chol, rng.standard_normal((S, n, d)))
+        Phi, Q = np.asarray(params.Phi), np.asarray(params.Q)
+        w = np.einsum("ds,nis->nid", np.linalg.cholesky(Q),
+                      rng.standard_normal((S, n, d)))
+        x1 = xT @ Phi.T + w
+        a, b = x1[..., 0], x1[..., 1]
+        U, V = x1[..., 2:2 + r], x1[..., 2 + r:]
+        y = (a[:, :, None] + b[:, None, :]
+             + np.einsum("sir,sjr->sij", U, V)
+             + np.sqrt(float(np.asarray(params.R)[0, 0]))
+             * rng.standard_normal((S, n, n)))
+        off = ~np.eye(n, dtype=bool)
+        z = 1.6449  # 90% two-sided
+        cov = compute_coverage(
+            jnp.asarray(np.broadcast_to(m0, y.shape)[:, off]),
+            jnp.asarray(np.broadcast_to(m0 - z * s0, y.shape)[:, off]),
+            jnp.asarray(np.broadcast_to(m0 + z * s0, y.shape)[:, off]),
+            jnp.asarray(y[:, off]))
+        assert 0.84 < cov < 0.96
