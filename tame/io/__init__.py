@@ -1,5 +1,10 @@
 """IO subsystem: native tensor store, checkpoint/resume, orbax bridge."""
 
+from tame.io.edgelist import (
+    edgelist_to_tensors,
+    load_edgelist_csv,
+    tensors_to_edgelist,
+)
 from tame.io.checkpoint import (
     load_checkpoint,
     load_orbax,
@@ -12,4 +17,7 @@ __all__ = [
     "load_checkpoint",
     "save_orbax",
     "load_orbax",
+    "edgelist_to_tensors",
+    "tensors_to_edgelist",
+    "load_edgelist_csv",
 ]

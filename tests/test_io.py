@@ -4,6 +4,8 @@ The native store is exercised directly (build + write + read + CRC) and the
 checkpoint layer both through it and through the numpy fallback.
 """
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -277,3 +279,70 @@ class TestOrbax:
         loaded = load_orbax(tmp_path / "ock")
         assert np.allclose(loaded["X_mean"], state["X_mean"])
         assert int(loaded["step"]) == 5
+
+
+class TestEdgelist:
+    """Real-data ingestion: directed panel records <-> (Y, mask) tensors
+    (the reference has no data loader of any kind — synthetic only)."""
+
+    def test_roundtrip_through_model_layout(self):
+        from tame.io import edgelist_to_tensors, tensors_to_edgelist
+        from tame.models import TemporalAMEModel, random_dyad_mask
+
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1, seed=2)
+        Y_true, _ = model.generate_data(return_latents=True)
+        Y_true = np.asarray(Y_true)
+        mask = np.asarray(random_dyad_mask(jax.random.PRNGKey(0), 8, 4,
+                                           0.4))
+        i, j, t, v = tensors_to_edgelist(Y_true, mask)
+        Y, m, info = edgelist_to_tensors(i, j, t, v, n_nodes=8, n_time=4,
+                                         node_ids=list(range(8)))
+        assert np.array_equal(m, mask)
+        assert info["n_dropped_oneway"] == 0
+        # observed entries reproduce Y exactly, incl. the reciprocal slot
+        obs = mask > 0
+        assert np.allclose(Y[obs], Y_true[obs])
+        assert np.allclose(Y[..., 1], np.swapaxes(Y[..., 0], 0, 1))
+        # unobserved entries zeroed
+        assert np.all(Y[~obs] == 0)
+
+    def test_oneway_records_dropped(self):
+        from tame.io import edgelist_to_tensors
+
+        Y, m, info = edgelist_to_tensors(
+            ["a", "b", "a"], ["b", "a", "c"], [0, 0, 0], [1.0, 2.0, 3.0],
+            n_time=1)
+        # a<->b observed both ways; a->c lacks its reverse
+        assert info["n_dropped_oneway"] == 1
+        assert m.sum() == 2  # (a,b) and (b,a)
+        assert Y[0, 1, 0, 0] == 1.0 and Y[0, 1, 0, 1] == 2.0
+        assert m[0, 2, 0] == 0 and Y[0, 2, 0, 0] == 0
+
+    def test_self_loop_rejected(self):
+        from tame.io import edgelist_to_tensors
+
+        with pytest.raises(ValueError, match="self-loops"):
+            edgelist_to_tensors(["a"], ["a"], [0], [1.0])
+
+    def test_masked_fit_from_edgelist(self):
+        """End-to-end: records -> tensors -> masked fit converges."""
+        from tame.inference import cavi
+        from tame.io import edgelist_to_tensors, tensors_to_edgelist
+        from tame.models import TemporalAMEModel, random_dyad_mask
+
+        model = TemporalAMEModel(n_nodes=10, n_time=4, latent_dim=1,
+                                 seed=5)
+        Y_true, _ = model.generate_data(return_latents=True)
+        mask = np.asarray(random_dyad_mask(jax.random.PRNGKey(1), 10, 4,
+                                           0.25))
+        i, j, t, v = tensors_to_edgelist(np.asarray(Y_true), mask)
+        Y, m, _ = edgelist_to_tensors(i, j, t, v, n_nodes=10, n_time=4,
+                                      node_ids=list(range(10)))
+        init = cavi.init_state(jax.random.PRNGKey(2), 10, 4, 4, "full",
+                               0.1, 0.5)
+        out = cavi.fit_cavi(jnp.asarray(Y), model.params, init,
+                            structure="full", update_mode="jacobi",
+                            mask=jnp.asarray(m), max_iter=50,
+                            learning_rate=0.7, tolerance=0.0)
+        eh = np.asarray(out.elbo_history)[:50]
+        assert np.all(np.isfinite(eh)) and eh[-1] > eh[0]
