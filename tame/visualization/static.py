@@ -81,21 +81,39 @@ def plot_network(Y, time_index: Optional[int] = None, component: int = 0,
     return _finish(fig, save_path)
 
 
+def _pca_2d(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Top-2 principal-component projection of (m, r>=2) points; returns
+    (projected (m, 2), explained-variance fractions (2,))."""
+    c = pts - pts.mean(0)
+    _, s, vt = np.linalg.svd(c, full_matrices=False)
+    denom = max(float((s ** 2).sum()), 1e-12)
+    return c @ vt[:2].T, (s[:2] ** 2) / denom
+
+
 def plot_latent_space(M, labels: Optional[np.ndarray] = None,
                       time_index: Optional[int] = None,
                       plot_U: bool = True, plot_V: bool = True,
                       figsize: Tuple[int, int] = (10, 5),
                       title: Optional[str] = None,
-                      save_path: Optional[str] = None) -> Figure:
+                      save_path: Optional[str] = None,
+                      projection: Optional[str] = None) -> Figure:
     """2-D scatter of latent sender/receiver positions; requires r = 2
-    (reference ``static.py:195-361``, r=2 check at ``static.py:253-254``)."""
+    (reference ``static.py:195-361``, r=2 check at ``static.py:253-254``).
+
+    ``projection="pca"`` lifts the r=2 restriction (beyond the
+    reference): r>2 positions are projected onto their top-2 principal
+    components per panel, with explained variance in the axis labels."""
     M = np.asarray(M)
     if M.ndim == 3:  # (n, T, 2r)
         t = 0 if time_index is None else time_index
         M = M[:, t, :]
     r = M.shape[1] // 2
-    if r != 2:
-        raise ValueError(f"plot_latent_space requires latent_dim=2, got {r}")
+    if r != 2 and projection is None:
+        raise ValueError(
+            f"plot_latent_space requires latent_dim=2, got {r} "
+            "(pass projection='pca' to plot the top-2 principal "
+            "components — an extension the reference lacks, "
+            "static.py:253-254)")
 
     n_panels = int(plot_U) + int(plot_V)
     if n_panels == 0:
@@ -110,6 +128,11 @@ def plot_latent_space(M, labels: Optional[np.ndarray] = None,
             continue
         ax = axes[panel]
         pts = M[:, sl]
+        xlab, ylab = "Dimension 1", "Dimension 2"
+        if pts.shape[1] != 2:
+            pts, ev = _pca_2d(pts)
+            xlab, ylab = (f"PC1 ({ev[0]:.0%} var)",
+                          f"PC2 ({ev[1]:.0%} var)")
         ax.scatter(pts[:, 0], pts[:, 1], s=60, alpha=0.8,
                    c=np.arange(len(pts)), cmap="viridis")
         for i, (x, y) in enumerate(pts):
@@ -118,8 +141,8 @@ def plot_latent_space(M, labels: Optional[np.ndarray] = None,
                         xytext=(3, 3), textcoords="offset points")
         ax.axhline(0, color="gray", lw=0.5)
         ax.axvline(0, color="gray", lw=0.5)
-        ax.set_xlabel("Dimension 1")
-        ax.set_ylabel("Dimension 2")
+        ax.set_xlabel(xlab)
+        ax.set_ylabel(ylab)
         ax.set_title(name)
         ax.grid(alpha=0.3)
         panel += 1

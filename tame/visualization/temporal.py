@@ -164,21 +164,32 @@ def plot_latent_trajectory_2d(M, node_indices: Optional[List[int]] = None,
                               plot_type: str = "U",
                               figsize: Tuple[int, int] = (10, 8),
                               title: Optional[str] = None,
-                              save_path: Optional[str] = None) -> Figure:
+                              save_path: Optional[str] = None,
+                              projection: Optional[str] = None) -> Figure:
     """2-D latent trajectories with start/end markers and direction arrows;
     requires r = 2 (reference ``temporal.py:401-543``, check at
-    ``temporal.py:448-449``)."""
+    ``temporal.py:448-449``).  ``projection="pca"`` lifts the restriction
+    (beyond the reference): r>2 trajectories are projected onto ONE shared
+    top-2 principal-component frame fitted across all (node, time) points
+    of the selected block, so paths stay mutually comparable."""
     M = np.asarray(M)  # (n, T, 2r)
     n, T, two_r = M.shape
     r = two_r // 2
-    if r != 2:
+    if r != 2 and projection is None:
         raise ValueError(
-            f"plot_latent_trajectory_2d requires latent_dim=2, got {r}")
+            f"plot_latent_trajectory_2d requires latent_dim=2, got {r} "
+            "(pass projection='pca' for a principal-component frame)")
     if plot_type not in ("U", "V"):
         raise ValueError(f"plot_type must be 'U' or 'V', got {plot_type}")
     sl = slice(0, r) if plot_type == "U" else slice(r, 2 * r)
     if node_indices is None:
         node_indices = list(range(min(5, n)))
+    if r != 2:
+        from tame.visualization.static import _pca_2d
+
+        flat, _ = _pca_2d(M[:, :, sl].reshape(n * T, r))
+        M = flat.reshape(n, T, 2)
+        sl = slice(0, 2)
 
     fig, ax = plt.subplots(figsize=figsize)
     cmap = plt.get_cmap("tab10")

@@ -220,3 +220,38 @@ class TestMCMCDiagnosticsPlot:
         fig = plot_chain_diagnostics(x)
         assert isinstance(fig, Figure)
         plt.close(fig)
+
+
+class TestPCAProjection:
+    """projection='pca' lifts the reference's r=2-only restriction on the
+    latent-space plots (static.py:253-254, temporal.py:448-449)."""
+
+    def test_latent_space_r3_pca(self):
+        from tame.visualization import plot_latent_space
+
+        M = np.random.default_rng(0).normal(size=(8, 6))  # r=3
+        with pytest.raises(ValueError):
+            plot_latent_space(M)
+        fig = plot_latent_space(M, projection="pca")
+        assert fig is not None
+        # axis labels carry explained variance
+        assert "PC1" in fig.axes[0].get_xlabel()
+        plt.close(fig)
+
+    def test_trajectory_r4_pca(self):
+        from tame.visualization import plot_latent_trajectory_2d
+
+        M = np.random.default_rng(1).normal(size=(6, 5, 8))  # r=4
+        with pytest.raises(ValueError):
+            plot_latent_trajectory_2d(M)
+        fig = plot_latent_trajectory_2d(M, projection="pca")
+        assert fig is not None
+        plt.close(fig)
+
+    def test_r2_unchanged(self):
+        from tame.visualization import plot_latent_space
+
+        M = np.random.default_rng(2).normal(size=(8, 4))  # r=2
+        fig = plot_latent_space(M)
+        assert "Dimension 1" in fig.axes[0].get_xlabel()
+        plt.close(fig)
