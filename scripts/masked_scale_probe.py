@@ -1,0 +1,60 @@
+"""Masked (missing-data) fit at north-star scale on the real TPU:
+n=2000, T=50, r=4, 30% of dyads hidden.  Reports ms/iteration and the
+observed-vs-held-out reconstruction MSE."""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tame.config import ModelConfig
+from tame.inference import cavi
+from tame.models import build_params, random_dyad_mask, sample
+
+cfg = ModelConfig(n_nodes=2000, n_time=50, latent_dim=4, seed=0)
+params = build_params(cfg)
+key = jax.random.PRNGKey(0)
+Y, _ = sample(params, key, cfg.n_nodes, cfg.n_time)
+mask = random_dyad_mask(jax.random.fold_in(key, 1), cfg.n_nodes,
+                        cfg.n_time, 0.3)
+jax.block_until_ready((Y, mask))
+print("data ready", flush=True)
+
+
+def fit(i, iters):
+    init = cavi.init_state(jax.random.fold_in(key, 100 + i), cfg.n_nodes,
+                           cfg.n_time, cfg.d, "full", 0.1, 0.5)
+    jax.block_until_ready(init)
+    t0 = time.perf_counter()
+    out = cavi.fit_cavi(Y, params, init, structure="full",
+                        update_mode="block", num_blocks=8,
+                        max_iter=iters, learning_rate=0.8,
+                        tolerance=0.0, mixed_precision=True, mask=mask)
+    np.asarray(out.X_mean)  # host fetch barrier (CLAUDE.md)
+    return out, time.perf_counter() - t0
+
+
+fit(0, 8)  # compile
+# Slope timing between two budgets removes fixed dispatch cost; inputs
+# differ per call (distinct inits) to defeat transport result caching.
+_, t_small = fit(1, 8)
+out, t_big = fit(2, 40)
+ms_per_iter = (t_big - t_small) / (40 - 8) * 1e3
+print(f"masked n=2000 fit: {ms_per_iter:.2f} ms/iter "
+      f"(slope between 8- and 40-iter fits)", flush=True)
+
+fwd = jax.jit(lambda m: jnp.einsum(
+    "itr,jtr->ijt", m[..., 2:2 + 4], m[..., 2 + 4:]) +
+    m[..., 0][:, None] + m[..., 1][None, :, :, ])
+# dyadic forward means a_i + b_j + U_i.V_j
+mu = fwd(out.X_mean)
+e2 = (Y[..., 0] - mu) ** 2
+off = 1.0 - jnp.eye(cfg.n_nodes)[:, :, None]
+held = off * (1.0 - mask)
+mse_obs = float(jnp.sum(e2 * mask) / jnp.sum(mask))
+mse_held = float(jnp.sum(e2 * held) / jnp.sum(held))
+print(f"observed MSE {mse_obs:.4f}  held-out MSE {mse_held:.4f} "
+      f"(R noise floor 0.1)", flush=True)

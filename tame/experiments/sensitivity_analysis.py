@@ -31,26 +31,37 @@ from tame.experiments.utils import (
 from tame.inference import cavi
 from tame.models import build_params, sample
 
-SWEEPABLE = ("n_nodes", "n_time", "ar_coefficient", "rho_dyadic")
+SWEEPABLE = ("n_nodes", "n_time", "ar_coefficient", "rho_dyadic",
+             "missing_frac")
 _METHODS = {"Naive MF": "diag", "Good SMF": "full"}
 
 
 def _vmapped_fits(cfg: ModelConfig, structure: str, n_replicates: int,
-                  max_iter: int, learning_rate: float, seed: int):
+                  max_iter: int, learning_rate: float, seed: int,
+                  missing_frac: float = 0.0):
     """Generate data, initialize and fit ``n_replicates`` instances in one
     vmapped call.  Returns final per-replicate MSE (per-dyad normalization)
-    and iteration counts."""
+    and iteration counts.  ``missing_frac > 0`` hides that fraction of
+    dyads per replicate (each replicate gets its own random mask) and
+    fits on the rest — the missing-data sweep axis (no reference
+    counterpart)."""
     params = build_params(cfg)
     keys = jax.random.split(jax.random.PRNGKey(seed), n_replicates)
 
     def one(key):
-        kd, ki = jax.random.split(key)
+        kd, ki, km = jax.random.split(key, 3)
         Y, _ = sample(params, kd, cfg.n_nodes, cfg.n_time)
         init = cavi.init_state(ki, cfg.n_nodes, cfg.n_time, cfg.d,
                                structure, 0.1, 0.5)
+        mask = None
+        if missing_frac:
+            from tame.models import random_dyad_mask
+
+            mask = random_dyad_mask(km, cfg.n_nodes, cfg.n_time,
+                                    missing_frac)
         out = cavi.fit_cavi(Y, params, init, structure=structure,
                             update_mode="jacobi", max_iter=max_iter,
-                            learning_rate=learning_rate)
+                            learning_rate=learning_rate, mask=mask)
         last = out.n_iter - 1
         return out.mse_history[last], out.n_iter
 
@@ -78,7 +89,8 @@ def run_sensitivity_analysis(
         raise ValueError(
             f"Unknown parameter '{parameter}'; choose from {SWEEPABLE}")
     if values is None:
-        values = [10, 15, 20, 25, 30]
+        values = ([0.0, 0.1, 0.3, 0.5] if parameter == "missing_frac"
+                  else [10, 15, 20, 25, 30])
     if base_params is None:
         base_params = {"n_nodes": 15, "n_time": 10, "latent_dim": 2,
                        "ar_coefficient": 0.8, "rho_dyadic": 0.5}
@@ -101,7 +113,12 @@ def run_sensitivity_analysis(
         print(f"{parameter.upper()} = {value}")
         print("=" * 70)
         model_kwargs = dict(base_params)
-        model_kwargs[parameter] = value
+        model_kwargs.pop("missing_frac", None)
+        missing_frac = float(base_params.get("missing_frac", 0.0))
+        if parameter == "missing_frac":
+            missing_frac = float(value)
+        else:
+            model_kwargs[parameter] = value
         cfg = ModelConfig(**model_kwargs, seed=seed)
 
         per_value = {}
@@ -109,7 +126,8 @@ def run_sensitivity_analysis(
             start = time.time()
             mses, iters = _vmapped_fits(
                 cfg, structure, n_replicates, max_iter, learning_rate,
-                seed + hash(parameter) % 1000)
+                seed + hash(parameter) % 1000,
+                missing_frac=missing_frac)
             runtime = time.time() - start
             per_value[method_name] = {
                 "mses": mses.tolist(),

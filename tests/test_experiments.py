@@ -206,3 +206,22 @@ class TestCLI:
 
         with pytest.raises(SystemExit):
             main(["bogus"])
+
+
+def test_sensitivity_missing_frac_sweep(tmp_path, monkeypatch):
+    """The missing-data sweep axis: MSE degrades gracefully as dyads are
+    hidden (each replicate gets its own random mask)."""
+    from tame.experiments.sensitivity_analysis import (
+        run_sensitivity_analysis)
+
+    results, _ = run_sensitivity_analysis(
+        parameter="missing_frac", values=[0.0, 0.4],
+        base_params={"n_nodes": 10, "n_time": 4, "latent_dim": 1,
+                     "ar_coefficient": 0.8, "rho_dyadic": 0.5},
+        max_iter=30, learning_rate=0.7, n_replicates=2,
+        save_outputs=False)
+    d = results["data"]
+    assert set(d) == {0.0, 0.4}
+    for v in d.values():
+        for m in v.values():
+            assert np.isfinite(m["mse_mean"])
