@@ -68,10 +68,7 @@ def _cmd_fit(args) -> int:
 
         from tame.models import random_dyad_mask
 
-        if args.method == "smoothed":
-            print("--missing-frac is not supported for --method smoothed.")
-            return 1
-        if args.update_mode == "seq":
+        if args.update_mode == "seq" and args.method != "smoothed":
             print("--missing-frac requires --update-mode block or jacobi.")
             return 1
         mask = random_dyad_mask(jax.random.PRNGKey(args.seed + 1),
@@ -97,7 +94,7 @@ def _cmd_fit(args) -> int:
                   "alone to save the final state.")
             return 1
         vi = TemporalAMESmoothedVI(model, learning_rate=args.lr,
-                                   seed=args.seed)
+                                   seed=args.seed, mask=mask)
     else:
         vi = TemporalAMEStructuredMFVI(
             model, factorization=args.method, learning_rate=args.lr,

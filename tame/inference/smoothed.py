@@ -74,7 +74,8 @@ def init_smoothed_state(key: Array, n: int, T: int, d: int,
 def smoothed_step(state: SmoothedState, obs: cavi.ObsConstants,
                   pri: cavi.PriorMatrices, params: AMEParams, lr: Array,
                   corrected: bool = True,
-                  fused: bool = False) -> SmoothedState:
+                  fused: bool = False,
+                  mask: Array | None = None) -> SmoothedState:
     """One simultaneous update: every node's trajectory re-solved exactly
     against the other nodes' current means.
 
@@ -88,10 +89,13 @@ def smoothed_step(state: SmoothedState, obs: cavi.ObsConstants,
     r = (d - 2) // 2
     _, _, U, V = dyad_ops.split_state(state.X_mean, r)
 
-    D = cavi._obs_precision(U, V, params.R_inv) \
-        + cavi._prior_precision(pri, T)[None]            # (n, T, d, d)
+    if mask is None:
+        D_obs = cavi._obs_precision(U, V, params.R_inv)
+    else:  # missing-data fit: per-node masked partner statistics
+        D_obs = cavi._masked_obs_precision(mask, U, V, params.R_inv)
+    D = D_obs + cavi._prior_precision(pri, T)[None]      # (n, T, d, d)
     b = cavi._obs_nat_param(obs, state.X_mean, r, params.R_inv,
-                            corrected)                    # (n, T, d)
+                            corrected, mask=mask)         # (n, T, d)
     O = -pri.Qinv_Phi.T                                   # -Phi' Q^-1
 
     if fused:
@@ -108,8 +112,8 @@ def smoothed_step(state: SmoothedState, obs: cavi.ObsConstants,
 
 
 def smoothed_elbo(Y: Array, params: AMEParams, pri: cavi.PriorMatrices,
-                  state: SmoothedState, mu_dyadic: Array | None = None
-                  ) -> Array:
+                  state: SmoothedState, mu_dyadic: Array | None = None,
+                  obs_mask: Array | None = None) -> Array:
     """ELBO with exact cross-time transition terms and trajectory entropy.
 
     Likelihood uses the same plug-in + trace-correction convention as the
@@ -125,12 +129,18 @@ def smoothed_elbo(Y: Array, params: AMEParams, pri: cavi.PriorMatrices,
     p_, q_ = params.R_inv[0, 0], params.R_inv[0, 1]
     e0, e1 = resid[..., 0], resid[..., 1]
     quad = p_ * (e0 * e0 + e1 * e1) + 2.0 * q_ * (e0 * e1)
-    mask = dyad_ops.offdiag_mask(n)[:, :, None]
-    quad_sum = 0.5 * jnp.sum(quad * mask)
-    n_dyads = n * (n - 1) // 2 * T
-    log_lik = -0.5 * (quad_sum + n_dyads * (pri.logdet_R + 2.0 * _LOG2PI))
     tr_cov = jnp.trace(state.X_cov, axis1=-2, axis2=-1)
-    corr = 0.1 * jnp.trace(params.R_inv) / d * (n - 1) * jnp.sum(tr_cov)
+    if obs_mask is None:
+        mask = dyad_ops.offdiag_mask(n)[:, :, None]
+        n_dyads = n * (n - 1) // 2 * T
+        wsum = (n - 1) * jnp.sum(tr_cov)
+    else:  # observed dyads only (cf. cavi._elbo_from_quad mask_stats)
+        mask = obs_mask
+        n_dyads = 0.5 * jnp.sum(obs_mask)
+        wsum = jnp.sum(obs_mask.sum(1) * tr_cov)
+    quad_sum = 0.5 * jnp.sum(quad * mask)
+    log_lik = -0.5 * (quad_sum + n_dyads * (pri.logdet_R + 2.0 * _LOG2PI))
+    corr = 0.1 * jnp.trace(params.R_inv) / d * wsum
     log_lik = log_lik - 0.5 * corr
 
     # initial prior
@@ -172,7 +182,8 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
                       max_iter: int = 100, learning_rate=0.8,
                       tolerance=1e-4, patience: int = 3,
                       corrected: bool = True,
-                      fused="auto") -> SmoothedFitResult:
+                      fused="auto",
+                      mask: Array | None = None) -> SmoothedFitResult:
     """``fused``: True forces the Pallas forward-backward kernel, False the
     ``vmap``-ed scan solver, "auto" (default) picks the kernel on TPU when
     the shape is supported (``TAME_DISABLE_FUSED_FIT=1`` disables)."""
@@ -181,6 +192,13 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
         buf *= 2
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
+    if mask is not None:
+        # The fused smoother itself is mask-agnostic (it solves whatever
+        # D/b it is given), but keep the selection conservative and take
+        # the XLA path under a mask (exactness over peak speed).
+        fused = False
+        mask = jnp.asarray(mask, Y.dtype)
+        mask = mask * (1.0 - jnp.eye(n, dtype=Y.dtype)[:, :, None])
     if fused == "auto":
         # pallas_call is not GSPMD-partitioned: node-sharded inputs
         # (tame.parallel.shard_smoothed_inputs) take the XLA vmap path.
@@ -199,7 +217,8 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
                               jnp.asarray(learning_rate, Y.dtype),
                               jnp.asarray(tolerance, Y.dtype),
                               buf_size=buf, patience=patience,
-                              corrected=corrected, fused=bool(fused))
+                              corrected=corrected, fused=bool(fused),
+                              mask=mask)
 
 
 @functools.partial(jax.jit, static_argnames=("buf_size", "patience",
@@ -207,12 +226,16 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
 def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol, *,
                        buf_size: int, patience: int,
                        corrected: bool,
-                       fused: bool = False) -> SmoothedFitResult:
+                       fused: bool = False,
+                       mask=None) -> SmoothedFitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
-    obs = cavi.precompute_obs_constants(Y, params.R_inv)
+    Y_w = Y * mask[..., None] if mask is not None else Y
+    obs = cavi.precompute_obs_constants(Y_w, params.R_inv)
     pri = cavi.precompute_priors(params)
+    n_obs = (jnp.maximum(jnp.sum(mask), 1.0)
+             if mask is not None else None)
 
     def cond(carry):
         state, it, prev, pat, conv, div, eh, mh = carry
@@ -222,10 +245,15 @@ def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol, *,
     def body(carry):
         state, it, prev, pat, conv, div, eh, mh = carry
         state = smoothed_step(state, obs, pri, params, lr, corrected,
-                              fused=fused)
+                              fused=fused, mask=mask)
         mu = dyad_ops.dyadic_mean_temporal(state.X_mean, r)
-        elbo = smoothed_elbo(Y, params, pri, state, mu_dyadic=mu)
-        mse = dyad_ops.masked_sq_error_temporal(Y, mu)
+        elbo = smoothed_elbo(Y, params, pri, state, mu_dyadic=mu,
+                             obs_mask=mask)
+        if mask is None:
+            mse = dyad_ops.masked_sq_error_temporal(Y, mu)
+        else:
+            e0 = (Y[..., 0] - mu[..., 0]) * mask
+            mse = 2.0 * jnp.sum(e0 * e0) / n_obs
         eh = eh.at[it].set(elbo)
         mh = mh.at[it].set(mse)
         rel = jnp.abs(elbo - prev) / (jnp.abs(prev) + 1e-8)
@@ -256,7 +284,7 @@ class TemporalAMESmoothedVI:
 
     def __init__(self, model, learning_rate: float = 0.8,
                  init_scale: float = 0.1, seed: int = 42,
-                 corrected: bool = True):
+                 corrected: bool = True, mask=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -267,6 +295,9 @@ class TemporalAMESmoothedVI:
         self.lr = learning_rate
         self.seed = seed
         self.corrected = corrected
+        # Missing-data support: (n, n, T) dyad observation mask (shared
+        # surface with the other engines; see cavi.fit_cavi).
+        self.mask = None if mask is None else jnp.asarray(mask)
         self.params = model.params
         self.history = {"elbo": [], "reconstruction_error": []}
         st = init_smoothed_state(jax.random.PRNGKey(seed), self.n, self.T,
@@ -292,7 +323,7 @@ class TemporalAMESmoothedVI:
         result = jax.block_until_ready(fit_cavi_smoothed(
             self.Y, self.params, self._state, max_iter=max_iter,
             learning_rate=self.lr, tolerance=tolerance,
-            corrected=self.corrected))
+            corrected=self.corrected, mask=self.mask))
         self._state = result.state
         n_iter = int(result.n_iter)
         eh = np.asarray(result.elbo_history)[:n_iter]

@@ -1013,3 +1013,60 @@ class TestForecastUncertainty:
             jnp.asarray(np.broadcast_to(m0 + z * s0, y.shape)[:, off]),
             jnp.asarray(y[:, off]))
         assert 0.84 < cov < 0.96
+
+
+class TestMaskedSmoothed:
+    """Missing-data support on the smoothed (joint-trajectory) engine —
+    same mask surface as the CAVI engines."""
+
+    def _setup(self, n=10, T=5, r=1, seed=6):
+        model = TemporalAMEModel(n_nodes=n, n_time=T, latent_dim=r,
+                                 seed=seed)
+        model.generate_data()
+        return model
+
+    def test_full_mask_matches_unmasked(self):
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed, init_smoothed_state)
+
+        model = self._setup()
+        Y = jnp.asarray(model.Y)
+        init = init_smoothed_state(jax.random.PRNGKey(1), 10, 5, 4, 0.1)
+        full = (1.0 - jnp.eye(10))[:, :, None] * jnp.ones((10, 10, 5))
+        kw = dict(max_iter=30, learning_rate=0.8, tolerance=0.0,
+                  fused=False)
+        a = fit_cavi_smoothed(Y, model.params, init, **kw)
+        b = fit_cavi_smoothed(Y, model.params, init, mask=full, **kw)
+        assert np.allclose(np.asarray(a.state.X_mean),
+                           np.asarray(b.state.X_mean), atol=1e-4)
+        ea = np.asarray(a.elbo_history)[:30]
+        eb = np.asarray(b.elbo_history)[:30]
+        assert np.max(np.abs((ea - eb) / ea)) < 1e-4
+
+    def test_masked_entries_never_read(self):
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed, init_smoothed_state)
+        from tame.models import random_dyad_mask
+
+        model = self._setup()
+        Y = jnp.asarray(model.Y)
+        mask = random_dyad_mask(jax.random.PRNGKey(3), 10, 5, 0.3)
+        Yg = jnp.where(mask[..., None] == 0, 1e6, Y)
+        init = init_smoothed_state(jax.random.PRNGKey(1), 10, 5, 4, 0.1)
+        kw = dict(max_iter=25, learning_rate=0.8, tolerance=0.0,
+                  fused=False)
+        c = fit_cavi_smoothed(Y, model.params, init, mask=mask, **kw)
+        d = fit_cavi_smoothed(Yg, model.params, init, mask=mask, **kw)
+        assert np.array_equal(np.asarray(c.state.X_mean),
+                              np.asarray(d.state.X_mean))
+
+    def test_masked_engine_improves(self):
+        from tame.inference import TemporalAMESmoothedVI
+        from tame.models import random_dyad_mask
+
+        model = self._setup()
+        mask = random_dyad_mask(jax.random.PRNGKey(2), 10, 5, 0.25)
+        vi = TemporalAMESmoothedVI(model, mask=mask)
+        h = vi.fit(max_iter=30, tolerance=0.0, verbose=False)
+        assert np.isfinite(h["elbo"]).all()
+        assert h["reconstruction_error"][-1] < h["reconstruction_error"][0]
