@@ -199,6 +199,47 @@ def _cmd_sample(args) -> int:
     return 0
 
 
+def _cmd_learn(args) -> int:
+    """Hyperparameter learning demo: generate with the true config, start
+    variational EM from a (wrong) guess, print the recovery."""
+    import jax
+
+    from tame.config import ModelConfig
+    from tame.inference import fit_em
+    from tame.models import build_params, sample
+
+    cfg = ModelConfig(n_nodes=args.n_nodes, n_time=args.n_time,
+                      latent_dim=args.latent_dim,
+                      ar_coefficient=args.ar_coefficient,
+                      rho_dyadic=args.rho_dyadic, seed=args.seed)
+    Y, _ = sample(build_params(cfg), jax.random.PRNGKey(args.seed),
+                  cfg.n_nodes, cfg.n_time)
+    cfg0 = ModelConfig(n_nodes=args.n_nodes, n_time=args.n_time,
+                       latent_dim=args.latent_dim,
+                       ar_coefficient=args.start_phi,
+                       rho_dyadic=args.start_rho,
+                       dyadic_variance=args.start_variance,
+                       seed=args.seed)
+    mask = None
+    if args.missing_frac:
+        from tame.models import random_dyad_mask
+
+        mask = random_dyad_mask(jax.random.PRNGKey(args.seed + 1),
+                                args.n_nodes, args.n_time,
+                                args.missing_frac)
+    print(f"True:  phi={cfg.ar_coefficient}  sigma2=0.1  "
+          f"rho={cfg.rho_dyadic}")
+    print(f"Start: phi={args.start_phi}  sigma2={args.start_variance}  "
+          f"rho={args.start_rho}")
+    res = fit_em(Y, build_params(cfg0), n_em=args.n_em, mask=mask,
+                 verbose=True)
+    h = res.history
+    print(f"Learned after {len(h['elbo'])} EM iterations: "
+          f"phi={h['phi'][-1]:.3f}  sigma2={h['sigma2'][-1]:.4f}  "
+          f"rho={h['rho'][-1]:.3f}")
+    return 0
+
+
 def _cmd_bench(args) -> int:
     import bench
 
@@ -283,6 +324,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-particles", type=int, default=256)
     p.add_argument("--num-stages", type=int, default=20)
     p.set_defaults(fn=_cmd_sample)
+
+    p = sub.add_parser(
+        "learn",
+        help="hyperparameter learning (variational EM) recovery demo")
+    _add_model_flags(p)
+    p.add_argument("--n-em", type=int, default=20)
+    p.add_argument("--start-phi", type=float, default=0.3,
+                   help="wrong starting AR coefficient")
+    p.add_argument("--start-rho", type=float, default=0.0,
+                   help="wrong starting dyadic correlation")
+    p.add_argument("--start-variance", type=float, default=1.0,
+                   help="wrong starting dyadic variance (true: 0.1)")
+    p.add_argument("--missing-frac", type=float, default=0.0)
+    p.set_defaults(fn=_cmd_learn)
 
     p = sub.add_parser("bench", help="one-line JSON benchmark")
     p.set_defaults(fn=_cmd_bench)

@@ -25,6 +25,7 @@ from tame.inference.logprob import (
 )
 from tame.inference.nuts import TemporalAMENUTS, nuts_kernel, run_nuts
 from tame.inference.smc import TemporalAMESMC, run_smc
+from tame.inference.em import EMResult, em_update_params, fit_em
 from tame.inference.smoothed import TemporalAMESmoothedVI, fit_cavi_smoothed
 
 __all__ = [
@@ -44,6 +45,9 @@ __all__ = [
     "TemporalAMENUTS",
     "TemporalAMESmoothedVI",
     "fit_cavi_smoothed",
+    "fit_em",
+    "em_update_params",
+    "EMResult",
     "TemporalAMESMC",
     "run_nuts",
     "nuts_kernel",

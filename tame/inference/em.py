@@ -1,0 +1,309 @@
+"""Hyperparameter learning: variational EM for the temporal AME family.
+
+The reference treats every model hyperparameter — AR coefficient, process
+noise, dyadic noise, prior covariances — as KNOWN: its engines only ever
+infer the latent states, and its experiments set the hyperparameters to
+the generating truth (`/root/reference/src/inference/*.py` take them from
+the model object; nothing estimates them).  That works for synthetic
+studies and fails for real data, where none of them are known.
+
+``fit_em`` closes the gap with variational EM:
+
+* **E-step** — the smoothed (joint-trajectory) engine
+  (:func:`tame.inference.smoothed.fit_cavi_smoothed`): its per-node
+  posteriors carry exact marginal covariances AND lag-1 cross-covariances,
+  which is precisely the sufficient statistics the M-step needs (a
+  mean-field E-step would bias the dynamics estimates toward zero
+  autocorrelation).
+* **M-step** — closed forms, no optimizer:
+
+  - ``phi``: with the reference's ``Phi = phi * I`` parameterization, the
+    maximizer of the expected transition log-likelihood is
+    ``phi = tr(sum_t E[x_{t+1} x_t']) / tr(sum_t E[x_t x_t'])``
+    (Kalman-EM / Shumway-Stoffer, scalar-constrained);
+  - ``Q``: the expected transition residual second moment
+    ``(1/n(T-1)) [Sxx' - Phi A' - A Phi' + Phi B Phi']`` (full SPD);
+  - ``Sigma0``: ``(1/n) sum_i E[x_0 x_0']``;
+  - ``R``: exchangeable 2x2 from plug-in dyadic residual statistics
+    ``sigma^2 = mean(e^2)``, ``rho = mean(e_ij e_ji) / sigma^2`` over
+    observed ordered pairs (the plug-in convention the whole framework's
+    likelihood uses; masked fits restrict to observed dyads).
+
+Every quantity is a reduction over posteriors already produced by the
+compiled E-step — the M-step is O(n T d^2) einsum work.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from tame.inference import cavi
+from tame.inference.smoothed import (
+    SmoothedState,
+    fit_cavi_smoothed,
+    init_smoothed_state,
+)
+from tame.models.params import AMEParams
+from tame.ops import dyad as dyad_ops
+from tame.ops.dyad import HIGHEST
+
+LEARNABLE = ("phi", "Q", "Sigma0", "R")
+
+
+class EMResult(NamedTuple):
+    params: AMEParams
+    state: SmoothedState
+    history: Dict[str, List[float]]
+
+
+def _sym(M: Array, jitter: float = 1e-8) -> Array:
+    return 0.5 * (M + M.T) + jitter * jnp.eye(M.shape[0], dtype=M.dtype)
+
+
+@jax.jit
+def _transition_moments(state: SmoothedState
+                        ) -> Tuple[Array, Array, Array, Array]:
+    """Summed second moments over nodes and transitions.
+
+    Returns ``(A, B, Sxx, S00)`` with
+    ``A   = sum_{i,t} E[x_{t+1} x_t']``  (lag-1),
+    ``B   = sum_{i,t} E[x_t x_t']``      (t = 0..T-2),
+    ``Sxx = sum_{i,t} E[x_{t+1} x_{t+1}']`` (t = 1..T-1),
+    ``S00 = sum_i E[x_0 x_0']``.
+    ``state.X_cross[t] = Cov(x_t, x_{t+1})`` (tame.ops.tridiag), so
+    ``E[x_{t+1} x_t'] = mu_{t+1} mu_t' + X_cross[t]'``.
+    """
+    mu, S, C = state.X_mean, state.X_cov, state.X_cross
+    A = (jnp.einsum("ita,itb->ab", mu[:, 1:], mu[:, :-1],
+                    precision=HIGHEST)
+         + jnp.einsum("itab->ba", C))
+    B = (jnp.einsum("ita,itb->ab", mu[:, :-1], mu[:, :-1],
+                    precision=HIGHEST)
+         + jnp.einsum("itab->ab", S[:, :-1]))
+    Sxx = (jnp.einsum("ita,itb->ab", mu[:, 1:], mu[:, 1:],
+                      precision=HIGHEST)
+           + jnp.einsum("itab->ab", S[:, 1:]))
+    S00 = (jnp.einsum("ia,ib->ab", mu[:, 0], mu[:, 0], precision=HIGHEST)
+           + jnp.einsum("iab->ab", S[:, 0]))
+    return A, B, Sxx, S00
+
+
+@jax.jit
+def _residual_moments(Y: Array, X_mean: Array,
+                      mask: Optional[Array] = None
+                      ) -> Tuple[Array, Array, Array]:
+    """Plug-in dyadic residual statistics over observed ordered pairs:
+    ``(sum e^2, sum e_ij e_ji, count)``."""
+    n = Y.shape[0]
+    r = (X_mean.shape[-1] - 2) // 2
+    fwd = dyad_ops.dyadic_fwd_temporal(X_mean, r)
+    m = (dyad_ops.offdiag_mask(n)[:, :, None] if mask is None
+         else mask)
+    e0 = (Y[..., 0] - fwd) * m
+    sq = jnp.sum(e0 * e0)
+    cross = jnp.einsum("ijt,jit->", e0, e0, precision=HIGHEST)
+    count = jnp.sum(m) * jnp.ones(())
+    if mask is None:
+        count = jnp.asarray(float(n * (n - 1) * Y.shape[2]))
+    return sq, cross, count
+
+
+@jax.jit
+def _residual_moment_corrections(state: SmoothedState,
+                                 m: Array) -> Tuple[Array, Array]:
+    """Exact posterior-variance corrections to the plug-in residual
+    statistics, making the R M-step the true ``E_q[(y - mu(X))^2]``.
+
+    With independent per-node posteriors and ``mu_ij = a_i + b_j +
+    U_i . V_j`` (EXACT for the bilinear Gaussian product, including the
+    second-order term the delta method drops):
+
+        var_q(mu_ij)        = J_i S_i J_i' + J_j S_j J_j'
+                              + tr(S_i[UU] S_j[VV])
+        cov_q(mu_ij, mu_ji) = K_i + K_j + tr(S_i[UV] S_j[UV])
+
+    where ``J_i = [1, 0, V_j, 0]``, ``J_j = [0, 1, 0, U_i]`` and ``K_i =
+    S_i[a,b] + S_i[a,V] . U_j + V_j . S_i[U,b] + V_j' S_i[U,V] U_j``.
+    All pair sums reduce to eta-class contractions against r^2 outer-
+    product (or covariance-block) panels.  ``m`` is the (n, n, T)
+    observation mask (complete network: the off-diagonal mask).  Returns
+    the masked pair sums ``(sum var_q, sum cov_q)`` over ordered pairs.
+    Validated against Monte-Carlo sampling of the posteriors (tests).
+    """
+    mu, S = state.X_mean, state.X_cov
+    n, T, d = mu.shape
+    r = (d - 2) // 2
+    _, _, U, V = dyad_ops.split_state(mu, r)
+    cnt = m.sum(1)                                     # (n, T)
+
+    A = S[..., 0, 0]
+    Ar = S[..., 1, 1]
+    B = S[..., 0, 2:2 + r]
+    Br = S[..., 1, 2 + r:]
+    C = S[..., 2:2 + r, 2:2 + r].reshape(n, T, r * r)
+    Cr = S[..., 2 + r:, 2 + r:].reshape(n, T, r * r)
+    VV = (V[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
+    UU = (U[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
+
+    def pair(Xi, Zj):
+        return jnp.einsum("ijt,itk,jtk->", m, Xi, Zj, precision=HIGHEST)
+
+    var_sum = (jnp.sum(cnt * (A + Ar))       # m symmetric: col sums = cnt
+               + 2.0 * pair(B, V) + pair(C, VV)
+               + 2.0 * pair(Br, U) + pair(Cr, UU)
+               + pair(C, Cr))   # tr(S_i[UU] S_j[VV]); both symmetric
+
+    Sab = S[..., 0, 1]
+    SaV = S[..., 0, 2 + r:]
+    SUb = S[..., 2:2 + r, 1]
+    SUV = S[..., 2:2 + r, 2 + r:].reshape(n, T, r * r)
+    VU = (V[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
+    SUV_T = jnp.swapaxes(
+        S[..., 2:2 + r, 2 + r:], -1, -2).reshape(n, T, r * r)
+    # K_i summed over ordered pairs, doubled for the symmetric K_j half;
+    # the joint second-order term tr(M_i M_j) appears once per pair.
+    cross_sum = (2.0 * (jnp.sum(cnt * Sab)
+                        + pair(SaV, U) + pair(SUb, V) + pair(SUV, VU))
+                 + pair(SUV, SUV_T))
+    return var_sum, cross_sum
+
+
+def em_update_params(params: AMEParams, Y: Array, state: SmoothedState,
+                     *, learn: Sequence[str] = LEARNABLE,
+                     mask: Optional[Array] = None) -> AMEParams:
+    """One closed-form M-step; returns updated :class:`AMEParams`.
+
+    Fields not in ``learn`` keep their current values.  ``Sigma``/``Psi``
+    report the corresponding blocks of the learned ``Sigma0``.
+    """
+    unknown = set(learn) - set(LEARNABLE)
+    if unknown:
+        raise ValueError(f"unknown learnable(s) {sorted(unknown)}; "
+                         f"choose from {LEARNABLE}")
+    n, T, d = state.X_mean.shape
+    A, B, Sxx, S00 = _transition_moments(state)
+
+    Phi, Q, Sigma0 = params.Phi, params.Q, params.Sigma0
+    if "phi" in learn and T > 1:
+        phi = jnp.trace(A) / jnp.maximum(jnp.trace(B), 1e-12)
+        Phi = jnp.eye(d, dtype=A.dtype) * phi
+    if "Q" in learn and T > 1:
+        Qn = (Sxx - Phi @ A.T - A @ Phi.T + Phi @ B @ Phi.T) \
+            / (n * (T - 1))
+        Q = _sym(Qn, 1e-6)
+    if "Sigma0" in learn:
+        Sigma0 = _sym(S00 / n, 1e-6)
+    R, R_inv = params.R, params.R_inv
+    if "R" in learn:
+        sq, cross, count = _residual_moments(Y, state.X_mean, mask)
+        m = (mask if mask is not None
+             else jnp.broadcast_to(
+                 dyad_ops.offdiag_mask(n)[:, :, None], (n, n, T)))
+        var_corr, cross_corr = _residual_moment_corrections(state, m)
+        sigma2 = jnp.maximum((sq + var_corr) / count, 1e-8)
+        rho = jnp.clip((cross + cross_corr) / count / sigma2,
+                       -0.99, 0.99)
+        off = rho * sigma2
+        R = jnp.array([[sigma2, off], [off, sigma2]], dtype=Y.dtype)
+        R_inv = jnp.linalg.inv(R)
+    r = params.r
+    return AMEParams(Sigma=Sigma0[:2, :2], Psi=Sigma0[2:, 2:], R=R,
+                     R_inv=R_inv, Phi=Phi, Q=Q, Sigma0=Sigma0)
+
+
+def fit_em(Y: Array, params0: AMEParams, *,
+           n_em: int = 15,
+           inner_max_iter: int = 100,
+           inner_tolerance: float = 1e-6,
+           learning_rate: float = 0.5,
+           learn: Sequence[str] = LEARNABLE,
+           mask: Optional[Array] = None,
+           init: Optional[SmoothedState] = None,
+           seed: int = 0,
+           em_tolerance: float = 1e-4,
+           verbose: bool = False) -> EMResult:
+    """Variational EM: alternate smoothed E-steps with closed-form
+    M-steps until the learned scalars stabilize.
+
+    ``params0`` is the starting guess (e.g. ``build_params(cfg)`` from a
+    rough config); the E-step warm-starts from the previous posterior, so
+    later EM iterations cost a handful of inner CAVI iterations.  Stops
+    early when the relative change of every learned scalar summary
+    (phi, tr Q, tr Sigma0, sigma^2, rho) drops below ``em_tolerance``.
+
+    The default ``learning_rate=0.5`` keeps the inner damped fit stable
+    across hyperparameter jumps; if an E-step nonetheless diverges or its
+    final ELBO regresses markedly, the damping is halved and that EM
+    iteration retried (up to 3 times) — a partial-E-step EM is only
+    monotone when the inner solver actually improves its objective.
+
+    Returns :class:`EMResult`; ``history`` tracks ``elbo`` (final inner
+    ELBO per EM iteration) and the learned scalars per iteration.
+    """
+    n, _, T, _ = Y.shape
+    d = params0.d
+    params = params0
+    state = (init if init is not None
+             else init_smoothed_state(jax.random.PRNGKey(seed), n, T, d,
+                                      0.1))
+    if mask is not None:
+        mask = jnp.asarray(mask, Y.dtype)
+        mask = mask * (1.0 - jnp.eye(n, dtype=Y.dtype)[:, :, None])
+
+    def scalars(p: AMEParams) -> Dict[str, float]:
+        return {
+            "phi": float(p.Phi[0, 0]),
+            "trQ": float(jnp.trace(p.Q)),
+            "trSigma0": float(jnp.trace(p.Sigma0)),
+            "sigma2": float(p.R[0, 0]),
+            "rho": float(p.R[0, 1] / p.R[0, 0]),
+        }
+
+    history: Dict[str, List[float]] = {
+        "elbo": [], "phi": [], "trQ": [], "trSigma0": [], "sigma2": [],
+        "rho": []}
+    prev = scalars(params)
+    prev_elbo = -np.inf
+    lr = learning_rate
+    for k in range(n_em):
+        for attempt in range(4):
+            out = fit_cavi_smoothed(Y, params, state,
+                                    max_iter=inner_max_iter,
+                                    learning_rate=lr,
+                                    tolerance=inner_tolerance,
+                                    corrected=True, mask=mask)
+            e = float(np.asarray(out.elbo_history)[int(out.n_iter) - 1])
+            # An E-step that blew up or regressed hard signals the inner
+            # solver oscillating at this damping; retry softer.
+            if (not bool(out.diverged) and np.isfinite(e)
+                    and (e >= prev_elbo - 1.0 or attempt == 3)):
+                break
+            lr *= 0.5
+            if verbose:
+                print(f"EM {k:3d} | E-step regressed "
+                      f"({e:.1f} < {prev_elbo:.1f}); retrying with "
+                      f"lr={lr:.3f}", flush=True)
+        prev_elbo = e
+        state = out.state
+        params = em_update_params(params, Y, state, learn=learn,
+                                  mask=mask)
+        cur = scalars(params)
+        elbo = float(np.asarray(out.elbo_history)[int(out.n_iter) - 1])
+        history["elbo"].append(elbo)
+        for key, v in cur.items():
+            history[key].append(v)
+        if verbose:
+            print(f"EM {k:3d} | ELBO {elbo:10.2f} | "
+                  + " ".join(f"{key}={v:.4f}" for key, v in cur.items()),
+                  flush=True)
+        rel = max(abs(cur[key] - prev[key]) / (abs(prev[key]) + 1e-8)
+                  for key in cur)
+        prev = cur
+        if k > 0 and rel < em_tolerance:
+            break
+    return EMResult(params=params, state=state, history=history)

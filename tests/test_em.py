@@ -1,0 +1,117 @@
+"""Variational-EM hyperparameter learning (tame/inference/em.py).
+
+The reference never estimates hyperparameters (its engines take them from
+the model object as known constants); these tests pin the capability:
+recovery of the generating phi / sigma^2 / rho / Q / Sigma0 from a wrong
+starting guess, the Monte-Carlo-exactness of the posterior-moment
+corrections in the R M-step, and the masked variant.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tame.config import ModelConfig
+from tame.inference import em_update_params, fit_em
+from tame.models import build_params, sample
+
+
+class TestEMRecovery:
+    @pytest.fixture(scope="class")
+    def em_run(self):
+        cfg = ModelConfig(n_nodes=20, n_time=20, latent_dim=1, seed=3,
+                          ar_coefficient=0.8, rho_dyadic=0.5)
+        Y, _ = sample(build_params(cfg), jax.random.PRNGKey(3), 20, 20)
+        # badly wrong start: phi 0.3 (true 0.8), sigma2 1.0 (true 0.1),
+        # rho 0 (true 0.5)
+        cfg0 = ModelConfig(n_nodes=20, n_time=20, latent_dim=1, seed=3,
+                           ar_coefficient=0.3, rho_dyadic=0.0,
+                           dyadic_variance=1.0)
+        return fit_em(Y, build_params(cfg0), n_em=25)
+
+    def test_recovers_dynamics(self, em_run):
+        h = em_run.history
+        assert abs(h["phi"][-1] - 0.8) < 0.05
+        assert abs(h["trQ"][-1] - 0.144) / 0.144 < 0.25
+
+    def test_recovers_observation_noise(self, em_run):
+        h = em_run.history
+        assert abs(h["sigma2"][-1] - 0.1) / 0.1 < 0.15
+        assert abs(h["rho"][-1] - 0.5) < 0.07
+
+    def test_recovers_initial_scale(self, em_run):
+        # Sigma0 absorbs leftover slack from the wrong start; the scale
+        # must land near the generating trace 4.0
+        assert abs(em_run.history["trSigma0"][-1] - 4.0) < 1.0
+
+    def test_monotone_improvement_and_convergence(self, em_run):
+        e = em_run.history["elbo"]
+        assert len(e) < 25  # the em_tolerance stopping rule fired
+        assert e[-1] > e[0] + 100  # massive improvement from wrong start
+        # learned params are a valid AMEParams: R SPD, Q SPD
+        assert np.all(np.linalg.eigvalsh(
+            np.asarray(em_run.params.R)) > 0)
+        assert np.all(np.linalg.eigvalsh(
+            np.asarray(em_run.params.Q)) > 0)
+
+    def test_invalid_learnable_rejected(self, em_run):
+        with pytest.raises(ValueError, match="unknown learnable"):
+            em_update_params(em_run.params, jnp.zeros((4, 4, 2, 2)),
+                             em_run.state, learn=("phi", "bogus"))
+
+
+class TestResidualMomentCorrections:
+    def test_matches_monte_carlo(self):
+        """The exact E_q second-moment corrections (incl. the bilinear
+        tr(S_i S_j) terms the delta method drops) vs sampling the
+        posteriors."""
+        from tame.inference.em import _residual_moment_corrections
+        from tame.inference.smoothed import SmoothedState
+
+        rng = np.random.default_rng(0)
+        n, T, r = 5, 3, 2
+        d = 2 + 2 * r
+        mu = rng.normal(size=(n, T, d)).astype(np.float32)
+        A = rng.normal(size=(n, T, d, d)) * 0.3
+        S = (np.einsum("ntij,ntkj->ntik", A, A)
+             + 0.05 * np.eye(d)).astype(np.float32)
+        chol = np.linalg.cholesky(S)
+        Ss = 100000
+        x = mu[None] + np.einsum(
+            "ntij,sntj->snti", chol,
+            rng.standard_normal((Ss, n, T, d)).astype(np.float32))
+        a, b = x[..., 0], x[..., 1]
+        U, V = x[..., 2:2 + r], x[..., 2 + r:]
+        mu_d = (a[:, :, None] + b[:, None, :]
+                + np.einsum("sitr,sjtr->sijt", U, V))
+        m = np.broadcast_to((1.0 - np.eye(n))[:, :, None], (n, n, T))
+        var_mc = (mu_d.var(axis=0) * m).sum()
+        c = mu_d - mu_d.mean(0)
+        cross_mc = ((c * np.swapaxes(c, 1, 2)).mean(0) * m).sum()
+        st = SmoothedState(X_mean=jnp.asarray(mu), X_cov=jnp.asarray(S),
+                           X_cross=jnp.zeros((n, T - 1, d, d)),
+                           logdets=jnp.zeros(()))
+        va, ca = _residual_moment_corrections(
+            st, jnp.asarray(m, jnp.float32))
+        assert abs(float(va) - var_mc) / var_mc < 0.02
+        assert abs(float(ca) - cross_mc) / abs(cross_mc) < 0.05
+
+
+class TestMaskedEM:
+    def test_masked_em_recovers_noise(self):
+        """EM on 70% of dyads still recovers the observation noise."""
+        from tame.models import random_dyad_mask
+
+        cfg = ModelConfig(n_nodes=16, n_time=12, latent_dim=1, seed=5,
+                          ar_coefficient=0.8, rho_dyadic=0.5)
+        Y, _ = sample(build_params(cfg), jax.random.PRNGKey(5), 16, 12)
+        mask = random_dyad_mask(jax.random.PRNGKey(9), 16, 12, 0.3)
+        cfg0 = ModelConfig(n_nodes=16, n_time=12, latent_dim=1, seed=5,
+                           ar_coefficient=0.4, rho_dyadic=0.0,
+                           dyadic_variance=0.5)
+        res = fit_em(Y, build_params(cfg0), n_em=15, mask=mask)
+        h = res.history
+        assert abs(h["sigma2"][-1] - 0.1) / 0.1 < 0.3
+        assert abs(h["phi"][-1] - 0.8) < 0.12
+        assert np.isfinite(h["elbo"]).all()
