@@ -58,6 +58,9 @@ def main() -> int:
         from tame.models import StaticAMEModel, TemporalAMEModel  # noqa
         from tame.inference import (  # noqa
             TemporalAMENaiveMFVI, TemporalAMEStructuredMFVI)
+        from tame.inference import fit_em  # noqa
+        from tame.io import edgelist_to_tensors  # noqa
+        from tame.models import random_dyad_mask  # noqa
         from tame import utils, visualization  # noqa
         from tame.experiments import utils as exp_utils  # noqa
         print(f"  [OK] tame {tame.__version__} imports cleanly")

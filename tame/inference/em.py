@@ -224,6 +224,7 @@ def fit_em(Y: Array, params0: AMEParams, *,
            learn: Sequence[str] = LEARNABLE,
            mask: Optional[Array] = None,
            init: Optional[SmoothedState] = None,
+           init_mode: str = "warm",
            seed: int = 0,
            em_tolerance: float = 1e-4,
            verbose: bool = False) -> EMResult:
@@ -248,12 +249,27 @@ def fit_em(Y: Array, params0: AMEParams, *,
     n, _, T, _ = Y.shape
     d = params0.d
     params = params0
-    state = (init if init is not None
-             else init_smoothed_state(jax.random.PRNGKey(seed), n, T, d,
-                                      0.1))
     if mask is not None:
         mask = jnp.asarray(mask, Y.dtype)
         mask = mask * (1.0 - jnp.eye(n, dtype=Y.dtype)[:, :, None])
+    if init is not None:
+        state = init
+    elif init_mode == "warm":
+        # The data-driven warm start (closed-form two-way fit + top-r SVD
+        # subspace, broadcast over T) is TEMPORALLY COHERENT: every time
+        # step shares one rotation frame for U/V.  A random init is not —
+        # at large n the data pins each time's positions up to rotation,
+        # a partially-converged E-step leaves those rotations incoherent
+        # across time, and the phi M-step (a lag-1 correlation through
+        # the latent frames) is biased low.  Measured at n=2000: random
+        # init learns phi ~ 0.48 for truth 0.8; warm init recovers it.
+        Y0 = Y * mask[..., None] if mask is not None else Y
+        warm = cavi.warm_init_state(Y0, params0, structure="full")
+        state = init_smoothed_state(jax.random.PRNGKey(seed), n, T, d,
+                                    0.1)._replace(X_mean=warm.X_mean)
+    else:
+        state = init_smoothed_state(jax.random.PRNGKey(seed), n, T, d,
+                                    0.1)
 
     def scalars(p: AMEParams) -> Dict[str, float]:
         return {

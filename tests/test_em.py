@@ -28,7 +28,7 @@ class TestEMRecovery:
         cfg0 = ModelConfig(n_nodes=20, n_time=20, latent_dim=1, seed=3,
                            ar_coefficient=0.3, rho_dyadic=0.0,
                            dyadic_variance=1.0)
-        return fit_em(Y, build_params(cfg0), n_em=25)
+        return fit_em(Y, build_params(cfg0), n_em=25, em_tolerance=5e-4)
 
     def test_recovers_dynamics(self, em_run):
         h = em_run.history
