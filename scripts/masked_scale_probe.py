@@ -46,11 +46,10 @@ ms_per_iter = (t_big - t_small) / (40 - 8) * 1e3
 print(f"masked n=2000 fit: {ms_per_iter:.2f} ms/iter "
       f"(slope between 8- and 40-iter fits)", flush=True)
 
-fwd = jax.jit(lambda m: jnp.einsum(
-    "itr,jtr->ijt", m[..., 2:2 + 4], m[..., 2 + 4:]) +
-    m[..., 0][:, None] + m[..., 1][None, :, :, ])
-# dyadic forward means a_i + b_j + U_i.V_j
-mu = fwd(out.X_mean)
+from tame.ops import dyad as dyad_ops
+
+mu = jax.jit(lambda m: dyad_ops.dyadic_fwd_temporal(
+    m, cfg.latent_dim))(out.X_mean)
 e2 = (Y[..., 0] - mu) ** 2
 off = 1.0 - jnp.eye(cfg.n_nodes)[:, :, None]
 held = off * (1.0 - mask)

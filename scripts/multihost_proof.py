@@ -26,9 +26,8 @@ import tempfile
 PORT = int(os.environ.get("TAME_MH_PORT", "47321"))
 NPROC = 2
 LOCAL_DEVICES = 4
-N, T, R = 64, 16, 0  # latent_dim r=0 -> d=2: cheap but full code path? no—
-# use r=1 (d=4): exercises the multiplicative blocks too.
-R = 1
+N, T = 64, 16
+R = 1  # latent_dim: r=1 (d=4) exercises the multiplicative blocks
 MAX_ITER = 60
 
 

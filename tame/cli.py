@@ -297,7 +297,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("sensitivity", help="parameter sweep")
     p.add_argument("--parameter", default="n_nodes",
                    choices=["n_nodes", "n_time", "ar_coefficient",
-                            "rho_dyadic"])
+                            "rho_dyadic", "missing_frac"])
     p.add_argument("--values", type=float, nargs="+",
                    default=[10, 15, 20, 25, 30])
     p.add_argument("--lr", type=float, default=0.7)

@@ -1173,12 +1173,14 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
     lr = learning_rate
     tol = tolerance
 
-    # Missing dyads contribute nothing to the data-side statistics: the
-    # dyad weights are zeroed before the (constant) row sums, so masked
-    # entries of Y are never read by the fit.
-    Y_w = Y * mask[..., None] if mask is not None else Y
+    # Missing dyads contribute nothing to the data-side statistics.
+    # jnp.where (not multiplication) so NaN-coded missing entries — the
+    # common real-data encoding — cannot poison the weights or the
+    # masked diagnostics: masked entries of Y are genuinely never read.
+    if mask is not None:
+        Y = jnp.where(mask[..., None] > 0, Y, 0.0)
     obs = precompute_obs_constants(
-        Y_w, params.R_inv,
+        Y, params.R_inv,
         w_dtype=jnp.bfloat16 if mixed_precision else None)
     pri = precompute_priors(params)
     if update_mode == "jacobi":

@@ -104,7 +104,8 @@ def _residual_moments(Y: Array, X_mean: Array,
     fwd = dyad_ops.dyadic_fwd_temporal(X_mean, r)
     m = (dyad_ops.offdiag_mask(n)[:, :, None] if mask is None
          else mask)
-    e0 = (Y[..., 0] - fwd) * m
+    # where (not multiplication): NaN-coded missing entries stay unread.
+    e0 = jnp.where(m > 0, Y[..., 0] - fwd, 0.0)
     sq = jnp.sum(e0 * e0)
     cross = jnp.einsum("ijt,jit->", e0, e0, precision=HIGHEST)
     count = jnp.sum(m) * jnp.ones(())
@@ -190,7 +191,14 @@ def em_update_params(params: AMEParams, Y: Array, state: SmoothedState,
 
     Phi, Q, Sigma0 = params.Phi, params.Q, params.Sigma0
     if "phi" in learn and T > 1:
-        phi = jnp.trace(A) / jnp.maximum(jnp.trace(B), 1e-12)
+        # Scalar-constrained maximizer UNDER THE CURRENT Q (coordinate
+        # ascent: phi given Q, then Q given phi):
+        #   phi = tr(Q^-1 A) / tr(Q^-1 B)
+        # which reduces to tr(A)/tr(B) only for isotropic Q — Q is
+        # learned as full SPD here, so the weighting matters.
+        Q_inv = jnp.linalg.inv(Q)
+        phi = (jnp.trace(Q_inv @ A)
+               / jnp.maximum(jnp.trace(Q_inv @ B), 1e-12))
         Phi = jnp.eye(d, dtype=A.dtype) * phi
     if "Q" in learn and T > 1:
         Qn = (Sxx - Phi @ A.T - A @ Phi.T + Phi @ B @ Phi.T) \
@@ -211,7 +219,6 @@ def em_update_params(params: AMEParams, Y: Array, state: SmoothedState,
         off = rho * sigma2
         R = jnp.array([[sigma2, off], [off, sigma2]], dtype=Y.dtype)
         R_inv = jnp.linalg.inv(R)
-    r = params.r
     return AMEParams(Sigma=Sigma0[:2, :2], Psi=Sigma0[2:, 2:], R=R,
                      R_inv=R_inv, Phi=Phi, Q=Q, Sigma0=Sigma0)
 
@@ -263,7 +270,8 @@ def fit_em(Y: Array, params0: AMEParams, *,
         # across time, and the phi M-step (a lag-1 correlation through
         # the latent frames) is biased low.  Measured at n=2000: random
         # init learns phi ~ 0.48 for truth 0.8; warm init recovers it.
-        Y0 = Y * mask[..., None] if mask is not None else Y
+        Y0 = (jnp.where(mask[..., None] > 0, Y, 0.0)
+              if mask is not None else Y)
         warm = cavi.warm_init_state(Y0, params0, structure="full")
         state = init_smoothed_state(jax.random.PRNGKey(seed), n, T, d,
                                     0.1)._replace(X_mean=warm.X_mean)
@@ -304,6 +312,19 @@ def fit_em(Y: Array, params0: AMEParams, *,
                 print(f"EM {k:3d} | E-step regressed "
                       f"({e:.1f} < {prev_elbo:.1f}); retrying with "
                       f"lr={lr:.3f}", flush=True)
+        if bool(out.diverged) or not np.isfinite(e):
+            # Every backoff attempt blew up: stop HERE with the last
+            # finite state instead of running M-steps on NaN posteriors.
+            if not history["elbo"]:
+                raise RuntimeError(
+                    "fit_em: the first E-step diverged even after "
+                    "damping backoff — check the starting "
+                    "hyperparameters (params0) and learning_rate")
+            if verbose:
+                print(f"EM {k:3d} | E-step diverged after backoff; "
+                      "stopping with the last finite iterate",
+                      flush=True)
+            break
         prev_elbo = e
         state = out.state
         params = em_update_params(params, Y, state, learn=learn,

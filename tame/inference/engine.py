@@ -93,7 +93,8 @@ class TemporalAMECaviVI:
             # model's neutral element for the row/col means up to the
             # observed-count normalization — adequate for an init).
             Y_init = (self.Y if self.mask is None
-                      else self.Y * self.mask[..., None])
+                      else jnp.where(self.mask[..., None] > 0, self.Y,
+                                     0.0))
             state = cavi.warm_init_state(
                 Y_init, self.params, structure=self.structure,
                 cov_init_scale=cov_init_scale,

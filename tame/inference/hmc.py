@@ -129,13 +129,22 @@ def run_hmc(logdensity_fn: Callable, init_position: Array, key: Array, *,
             num_warmup: int = 200, num_samples: int = 200,
             num_leapfrog: int = 16, initial_step_size: float = 0.01,
             inv_mass: Optional[Array] = None, target_accept: float = 0.8,
-            thin: int = 1) -> HMCSamples:
+            thin: int = 1, logdensity_args: tuple = ()) -> HMCSamples:
     """Run one HMC chain: dual-averaging warmup, then sampling.
 
     ``inv_mass`` is a per-coordinate inverse mass (posterior variance
     scale); defaults to identity.  vmap over (init_position, key) for
     multiple chains.
+
+    ``logdensity_args``: extra DATA operands forwarded to
+    ``logdensity_fn(x, *logdensity_args)``.  Pass the observation tensor
+    (and mask) here rather than closing over them — closed-over arrays
+    are baked into the compiled program as constants, which the TPU
+    transport rejects above ~100 MB (CLAUDE.md).
     """
+    if logdensity_args:
+        base_fn = logdensity_fn
+        logdensity_fn = lambda x: base_fn(x, *logdensity_args)  # noqa: E731
     if inv_mass is None:
         inv_mass = jnp.ones_like(init_position)
 
@@ -215,7 +224,8 @@ class TemporalAMEHMC:
         self.seed = seed
         self.precondition = precondition
 
-        from tame.inference.logprob import make_logdensity_fn
+        from tame.inference.logprob import log_joint, make_logdensity_fn
+        from tame.inference.logprob import precompute
 
         # Optional (n, n, T) dyad observation mask: the target becomes
         # the missing-data posterior (observed dyads only), matching the
@@ -223,6 +233,22 @@ class TemporalAMEHMC:
         self.mask = None if mask is None else jnp.asarray(mask)
         self._logdensity = make_logdensity_fn(model.params, self.Y,
                                               obs_mask=self.mask)
+        # Pure variant + data operands for the jitted samplers: Y (and
+        # the mask) must travel as ARGUMENTS, not closure constants —
+        # closures are baked into the compile RPC (CLAUDE.md ~100MB cap).
+        consts = precompute(model.params)
+        params = model.params
+        if self.mask is None:
+            self._pure_logdensity = (
+                lambda x, Y: log_joint(params, Y, x, consts))
+            self._ld_args = (self.Y,)
+        else:
+            m = self.mask * (1.0 - jnp.eye(self.Y.shape[0],
+                                           dtype=self.Y.dtype)[:, :, None])
+            self._pure_logdensity = (
+                lambda x, Y, om: log_joint(params, Y, x, consts,
+                                           obs_mask=om))
+            self._ld_args = (self.Y, m)
 
     def sample(self, num_warmup: int = 200, num_samples: int = 200,
                thin: int = 1, mesh=None) -> HMCSamples:
@@ -250,9 +276,10 @@ class TemporalAMEHMC:
         inits, keys = _shard_chains(mesh, inits, keys)
 
         run = functools.partial(
-            run_hmc, self._logdensity,
+            run_hmc, self._pure_logdensity,
             num_warmup=num_warmup, num_samples=num_samples,
-            num_leapfrog=self.num_leapfrog, inv_mass=inv_mass, thin=thin)
+            num_leapfrog=self.num_leapfrog, inv_mass=inv_mass, thin=thin,
+            logdensity_args=self._ld_args)
         out = jax.vmap(lambda pos, k: run(pos, k))(inits, keys)
         # Diagnostics are computed lazily in diagnostics(): the R-hat/ESS
         # pass copies the whole sample stack to the host, which must not

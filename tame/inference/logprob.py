@@ -89,6 +89,11 @@ def log_likelihood(params: AMEParams, Y: Array, X: Array,
         consts = precompute(params)
     n, T, d = X.shape
     r = (d - 2) // 2
+    if obs_mask is not None:
+        # Sanitize BEFORE the residual: NaN-coded missing entries must
+        # never enter the graph — gating only the output still leaks NaN
+        # through the VJP (0 cotangent * NaN residual = NaN gradient).
+        Y = jnp.where(obs_mask[..., None] > 0, Y, 0.0)
     mu = dyad_ops.dyadic_mean_temporal(X, r)
     resid = Y - mu
     quad = jnp.einsum("ijta,ab,ijtb->ijt", resid, consts.R_inv, resid,

@@ -261,13 +261,18 @@ def run_nuts(logdensity_fn: Callable, init_position: Array, key: Array, *,
              num_warmup: int = 200, num_samples: int = 200,
              max_depth: int = 8, initial_step_size: float = 0.01,
              inv_mass: Optional[Array] = None,
-             target_accept: float = 0.8) -> HMCSamples:
+             target_accept: float = 0.8,
+             logdensity_args: tuple = ()) -> HMCSamples:
     """Run one NUTS chain: dual-averaging warmup then sampling.
 
     Returns :class:`tame.inference.hmc.HMCSamples` (positions, accept
     statistic, final step size, log densities).  vmap over (init, key) for
-    multiple chains.
+    multiple chains.  ``logdensity_args``: data operands forwarded to
+    ``logdensity_fn(x, *args)`` (see :func:`tame.inference.hmc.run_hmc`).
     """
+    if logdensity_args:
+        base_fn = logdensity_fn
+        logdensity_fn = lambda x: base_fn(x, *logdensity_args)  # noqa: E731
     if inv_mass is None:
         inv_mass = jnp.ones_like(init_position)
 
@@ -313,7 +318,8 @@ class TemporalAMENUTS:
         self.seed = seed
         self.precondition = precondition
 
-        from tame.inference.logprob import make_logdensity_fn
+        from tame.inference.logprob import log_joint, make_logdensity_fn
+        from tame.inference.logprob import precompute
 
         # Optional (n, n, T) dyad observation mask: the target becomes
         # the missing-data posterior (observed dyads only), matching the
@@ -321,6 +327,20 @@ class TemporalAMENUTS:
         self.mask = None if mask is None else jnp.asarray(mask)
         self._logdensity = make_logdensity_fn(model.params, self.Y,
                                               obs_mask=self.mask)
+        # Pure variant + data operands (see TemporalAMEHMC.__init__).
+        consts = precompute(model.params)
+        params = model.params
+        if self.mask is None:
+            self._pure_logdensity = (
+                lambda x, Y: log_joint(params, Y, x, consts))
+            self._ld_args = (self.Y,)
+        else:
+            m = self.mask * (1.0 - jnp.eye(self.Y.shape[0],
+                                           dtype=self.Y.dtype)[:, :, None])
+            self._pure_logdensity = (
+                lambda x, Y, om: log_joint(params, Y, x, consts,
+                                           obs_mask=om))
+            self._ld_args = (self.Y, m)
 
     def sample(self, num_warmup: int = 200, num_samples: int = 200,
                mesh=None) -> HMCSamples:
@@ -342,9 +362,9 @@ class TemporalAMENUTS:
         keys = jax.random.split(k_chains, self.num_chains)
         inits, keys = _shard_chains(mesh, inits, keys)
         run = functools.partial(
-            run_nuts, self._logdensity, num_warmup=num_warmup,
+            run_nuts, self._pure_logdensity, num_warmup=num_warmup,
             num_samples=num_samples, max_depth=self.max_depth,
-            inv_mass=inv_mass)
+            inv_mass=inv_mass, logdensity_args=self._ld_args)
         out = jax.vmap(lambda p, k: run(p, k))(inits, keys)
         # Lazily diagnosed — see TemporalAMEHMC.sample.
         self._last_sample = out

@@ -231,8 +231,11 @@ def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol, *,
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
-    Y_w = Y * mask[..., None] if mask is not None else Y
-    obs = cavi.precompute_obs_constants(Y_w, params.R_inv)
+    # where (not multiplication): NaN-coded missing entries must not
+    # poison the weights or diagnostics (cf. cavi._fit_cavi_impl).
+    if mask is not None:
+        Y = jnp.where(mask[..., None] > 0, Y, 0.0)
+    obs = cavi.precompute_obs_constants(Y, params.R_inv)
     pri = cavi.precompute_priors(params)
     n_obs = (jnp.maximum(jnp.sum(mask), 1.0)
              if mask is not None else None)

@@ -78,9 +78,9 @@ def edgelist_to_tensors(senders: Sequence, receivers: Sequence,
 
     directed = np.zeros((n, n, T), dtype=np.float32)
     seen = np.zeros((n, n, T), dtype=bool)
-    n_duplicates = int(np.count_nonzero(
-        np.unique(np.stack([si, ri, times]), axis=1,
-                  return_counts=True)[1] > 1))
+    counts = np.unique(np.stack([si, ri, times]), axis=1,
+                       return_counts=True)[1]
+    n_duplicates = int((counts - 1).sum())  # records overwritten
     directed[si, ri, times] = values
     seen[si, ri, times] = True
 

@@ -82,12 +82,18 @@ def plot_network(Y, time_index: Optional[int] = None, component: int = 0,
 
 
 def _pca_2d(pts: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Top-2 principal-component projection of (m, r>=2) points; returns
-    (projected (m, 2), explained-variance fractions (2,))."""
+    """Top-2 principal-component projection of (m, r) points; returns
+    (projected (m, 2), explained-variance fractions (2,)).  r=1 input is
+    padded with a zero second axis (the 1-D latent line)."""
     c = pts - pts.mean(0)
     _, s, vt = np.linalg.svd(c, full_matrices=False)
     denom = max(float((s ** 2).sum()), 1e-12)
-    return c @ vt[:2].T, (s[:2] ** 2) / denom
+    proj = c @ vt[:2].T
+    ev = (s[:2] ** 2) / denom
+    if proj.shape[1] < 2:
+        proj = np.concatenate([proj, np.zeros_like(proj)], axis=1)
+        ev = np.concatenate([ev, np.zeros(2 - len(ev))])
+    return proj, ev
 
 
 def plot_latent_space(M, labels: Optional[np.ndarray] = None,

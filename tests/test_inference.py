@@ -1070,3 +1070,48 @@ class TestMaskedSmoothed:
         h = vi.fit(max_iter=30, tolerance=0.0, verbose=False)
         assert np.isfinite(h["elbo"]).all()
         assert h["reconstruction_error"][-1] < h["reconstruction_error"][0]
+
+
+class TestNaNCodedMissing:
+    """NaN is the common real-data encoding for missing entries; with a
+    matching mask the fits must be identical to zero-coded missing (the
+    mask gates reads with jnp.where, never multiplication)."""
+
+    def test_nan_coded_cavi(self):
+        from tame.models import random_dyad_mask
+
+        model = TemporalAMEModel(n_nodes=10, n_time=4, latent_dim=1,
+                                 seed=8)
+        Y, _ = model.generate_data(return_latents=True)
+        Y = jnp.asarray(Y)
+        mask = random_dyad_mask(jax.random.PRNGKey(1), 10, 4, 0.3)
+        Ynan = jnp.where(mask[..., None] == 0, jnp.nan, Y)
+        init = cavi.init_state(jax.random.PRNGKey(2), 10, 4, 4, "full",
+                               0.1, 0.5)
+        kw = dict(structure="full", update_mode="jacobi", max_iter=25,
+                  learning_rate=0.7, tolerance=0.0)
+        a = cavi.fit_cavi(Y, model.params, init, mask=mask, **kw)
+        b = cavi.fit_cavi(Ynan, model.params, init, mask=mask, **kw)
+        assert np.isfinite(np.asarray(b.elbo_history)[:25]).all()
+        assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
+
+    def test_nan_coded_smoothed_and_em(self):
+        from tame.config import ModelConfig
+        from tame.inference import fit_em
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed, init_smoothed_state)
+        from tame.models import build_params, random_dyad_mask, sample
+
+        cfg = ModelConfig(n_nodes=10, n_time=5, latent_dim=1, seed=4)
+        params = build_params(cfg)
+        Y, _ = sample(params, jax.random.PRNGKey(4), 10, 5)
+        mask = random_dyad_mask(jax.random.PRNGKey(5), 10, 5, 0.3)
+        Ynan = jnp.where(mask[..., None] == 0, jnp.nan, Y)
+        init = init_smoothed_state(jax.random.PRNGKey(6), 10, 5, 4, 0.1)
+        out = fit_cavi_smoothed(Ynan, params, init, max_iter=15,
+                                learning_rate=0.5, tolerance=0.0,
+                                mask=mask, fused=False)
+        assert np.isfinite(np.asarray(out.elbo_history)[:15]).all()
+        res = fit_em(Ynan, params, n_em=3, mask=mask)
+        assert np.isfinite(res.history["elbo"]).all()
+        assert np.isfinite(res.history["sigma2"][-1])

@@ -410,3 +410,24 @@ class TestMaskedLogProb:
         out = hmc.sample(num_warmup=15, num_samples=15)
         assert bool(jnp.all(jnp.isfinite(out.positions)))
         assert bool(jnp.all(jnp.isfinite(out.logdensities)))
+
+
+def test_masked_hmc_nan_coded_actually_samples(tiny):
+    """NaN-coded missing entries must not silently freeze the chain (a
+    NaN log-likelihood rejects every proposal while positions stay
+    finite); the masked target gates reads with where."""
+    from tame.inference.logprob import log_likelihood
+    from tame.models import random_dyad_mask
+
+    model, Y, X = tiny
+    n, T = Y.shape[0], Y.shape[2]
+    mask = random_dyad_mask(jax.random.PRNGKey(4), n, T, 0.3)
+    Ynan = jnp.where(mask[..., None] == 0, jnp.nan, jnp.asarray(Y))
+    ll = log_likelihood(model.params, Ynan, jnp.asarray(X), obs_mask=mask)
+    assert bool(jnp.isfinite(ll))
+    model.Y = np.asarray(Ynan)
+    hmc = TemporalAMEHMC(model, num_chains=2, num_leapfrog=5, seed=1,
+                         mask=mask, precondition=False)
+    out = hmc.sample(num_warmup=20, num_samples=20)
+    assert bool(jnp.all(jnp.isfinite(out.logdensities)))
+    assert float(out.accept_prob.mean()) > 0.2  # the chain actually moves
