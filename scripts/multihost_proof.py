@@ -51,10 +51,12 @@ def _configure_jax():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    # Share the repo's persistent compile cache: repeat runs (and the
-    # pytest wrapper) skip the fit_cavi recompiles in every subprocess.
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Share the repo's persistent compile cache (host-keyed: foreign
+    # XLA:CPU AOT blobs can segfault, tame/utils/cache.py): repeat runs
+    # and the pytest wrapper skip the fit_cavi recompiles.
+    from tame.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax)
     return jax
 
 

@@ -26,9 +26,12 @@ import pytest  # noqa: E402
 if not os.environ.get("TAME_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
 
-# Persistent compilation cache: repeated pytest runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Persistent compilation cache, keyed per host CPU: XLA:CPU AOT blobs
+# embed the build host's feature set and can SIGILL/segfault when loaded
+# on a different machine (tame/utils/cache.py).
+from tame.utils.cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(jax)
 
 from tame.models import StaticAMEModel, TemporalAMEModel  # noqa: E402
 

@@ -19,8 +19,9 @@ def _setup():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_compilation_cache_dir",
-                      str(Path(__file__).parent.parent / ".jax_cache"))
+    from tame.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache(jax)  # host-keyed: foreign AOT blobs segfault
 
 
 def test_data_generation():
