@@ -41,7 +41,18 @@ def cache_dir() -> str:
 
 
 def enable_persistent_cache(jax_module) -> str:
-    """Point jax's compilation cache at the host-keyed directory."""
+    """Point jax's compilation cache at the host-keyed directory.
+
+    OPT-IN via ``TAME_JAX_CACHE=1``: this jax build's XLA:CPU AOT
+    serialize/deserialize path segfaults intermittently (observed both in
+    ``put_executable_and_time`` on cache write and in
+    ``backend_compile_and_load`` on read, plus at interpreter exit), so
+    correctness-critical runs — the test suite above all — default to no
+    persistent cache.  Set the env var to trade that risk for warm-cache
+    speed during interactive development.
+    """
+    if not os.environ.get("TAME_JAX_CACHE"):
+        return ""
     path = cache_dir()
     jax_module.config.update("jax_compilation_cache_dir", path)
     jax_module.config.update("jax_persistent_cache_min_compile_time_secs",

@@ -24,40 +24,38 @@ pytestmark = [
 ]
 
 
+def _run_reference(mode: str, tmp_dir) -> dict:
+    """Run the torch reference in a SUBPROCESS (tests/_reference_runner.py)
+    — torch's OpenMP runtime must never share a process with XLA:CPU's
+    compile threads (intermittent segfaults observed on 2-vCPU hosts)."""
+    import subprocess
+
+    out = Path(tmp_dir) / f"ref_{mode}.npz"
+    subprocess.run(
+        [sys.executable,
+         str(Path(__file__).parent / "_reference_runner.py"),
+         str(out), mode],
+        check=True, timeout=600, capture_output=True)
+    return dict(np.load(out))
+
+
 @pytest.fixture(scope="module")
-def reference_run():
-    """Run the reference Naive MF and Good SMF to convergence on a small
-    config; return its data and results."""
-    sys.path.insert(0, str(REFERENCE))
-    import torch
-
-    from src.models import TemporalAMEModel as RefModel
-    from src.inference import (
-        TemporalAMENaiveMFVI as RefNaive,
-        TemporalAMEStructuredMFVI as RefSMF,
-    )
-
-    model = RefModel(n_nodes=10, n_time=5, latent_dim=1,
-                     ar_coefficient=0.8, rho_dyadic=0.5, seed=42)
-    Y, X = model.generate_data(return_latents=True)
-
-    results = {}
-    for name, vi in [
-            ("naive", RefNaive(model, learning_rate=0.7, seed=0)),
-            ("good", RefSMF(model, factorization="good",
-                            learning_rate=0.7, seed=0)),
-            ("bad", RefSMF(model, factorization="bad",
-                           learning_rate=0.3, seed=0))]:
-        history = vi.fit(max_iter=80, tolerance=1e-9, verbose=False)
-        results[name] = {
-            "mse": history["reconstruction_error"][-1],
-            "elbo": history["elbo"][-1],
-            "X_mean": vi.X_mean.detach().numpy().copy(),
-            "X_cov": vi.X_cov.detach().numpy().copy(),
+def reference_run(tmp_path_factory):
+    """Reference Naive/Good/Bad fixed points on a small config (computed
+    in an isolated torch process); returns its data and results."""
+    d = _run_reference("small", tmp_path_factory.mktemp("ref"))
+    results = {
+        name: {
+            "mse": float(d[f"{name}_mse"]),
+            "elbo": float(d[f"{name}_elbo"]),
+            "X_mean": d[f"{name}_X_mean"],
+            "X_cov": d[f"{name}_X_cov"],
         }
+        for name in ("naive", "good", "bad")
+    }
     return {
-        "Y": Y.numpy().copy(),
-        "X_true": X.numpy().copy(),
+        "Y": d["Y"],
+        "X_true": d["X_true"],
         "model_kwargs": dict(n_nodes=10, n_time=5, latent_dim=1,
                              ar_coefficient=0.8, rho_dyadic=0.5),
         "results": results,
@@ -194,14 +192,9 @@ class TestDemoConfigParity:
     }
 
     @pytest.fixture(scope="class")
-    def demo_data(self):
-        sys.path.insert(0, str(REFERENCE))
-        from src.models import TemporalAMEModel as RefModel
-
-        model = RefModel(n_nodes=15, n_time=10, latent_dim=2,
-                         ar_coefficient=0.8, rho_dyadic=0.5, seed=42)
-        Y, X = model.generate_data(return_latents=True)
-        return {"Y": Y.numpy().copy(), "X_true": X.numpy().copy()}
+    def demo_data(self, tmp_path_factory):
+        d = _run_reference("demo", tmp_path_factory.mktemp("ref_demo"))
+        return {"Y": d["Y"], "X_true": d["X_true"]}
 
     def _fit(self, demo_data, structure):
         import jax
