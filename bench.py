@@ -99,6 +99,48 @@ def n2000_metrics():
         res["n2000_warm_converged"] = bool(out_w.converged)
     except Exception:
         pass
+    # Smoothed (joint-trajectory) family at the same scale: warm init +
+    # production path (bf16 dyad weights, sufficient-statistics
+    # diagnostics, Pallas forward-backward smoother on TPU).  This is the
+    # EM E-step engine, so its wall-to-converged bounds hyperparameter
+    # learning at n=2000.
+    try:
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed,
+            warm_init_smoothed_state,
+        )
+
+        sinit = warm_init_smoothed_state(Y, params)
+        jax.block_until_ready(sinit)
+
+        def sfit(init, max_iter):
+            t0 = time.perf_counter()
+            out = fit_cavi_smoothed(Y, params, init, max_iter=max_iter,
+                                    learning_rate=0.8, tolerance=1e-4,
+                                    mixed_precision=True,
+                                    diag_mode="stats")
+            np.asarray(out.state.X_mean)  # host-fetch barrier
+            return out, time.perf_counter() - t0
+
+        # Compile warm-up: random init, same pow2 history buffer (so the
+        # timed warm-started fit reuses the trace) and distinct inputs
+        # (transport result caching).
+        from tame.inference.smoothed import init_smoothed_state
+
+        rinit = init_smoothed_state(jax.random.PRNGKey(77), cfg.n_nodes,
+                                    cfg.n_time, cfg.d, 0.1)
+        sfit(rinit, 512)
+        out_s, wall_s = sfit(sinit, 512)
+        n_s = int(out_s.n_iter)
+        res["n2000_smoothed_wall_to_converged_s"] = round(wall_s, 3)
+        res["n2000_smoothed_iters"] = n_s
+        res["n2000_smoothed_converged"] = bool(out_s.converged)
+        res["n2000_smoothed_ms_per_iter"] = round(wall_s / n_s * 1000, 2)
+    except Exception as e:
+        import sys
+
+        print(f"n2000 smoothed leg failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
     return res
 
 

@@ -83,18 +83,9 @@ def _cmd_fit(args) -> int:
     elif args.method == "smoothed":
         from tame.inference import TemporalAMESmoothedVI
 
-        if args.init == "warm":
-            print("--init warm is not supported for --method smoothed "
-                  "(the smoothed engine has its own Gaussian init); "
-                  "remove the flag.")
-            return 1
-        if args.checkpoint_every or args.resume:
-            print("In-fit checkpointing (--checkpoint-every/--resume) is "
-                  "not supported for --method smoothed; use --checkpoint "
-                  "alone to save the final state.")
-            return 1
         vi = TemporalAMESmoothedVI(model, learning_rate=args.lr,
-                                   seed=args.seed, mask=mask)
+                                   seed=args.seed, init_mode=args.init,
+                                   mask=mask)
     else:
         vi = TemporalAMEStructuredMFVI(
             model, factorization=args.method, learning_rate=args.lr,

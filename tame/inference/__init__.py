@@ -26,7 +26,11 @@ from tame.inference.logprob import (
 from tame.inference.nuts import TemporalAMENUTS, nuts_kernel, run_nuts
 from tame.inference.smc import TemporalAMESMC, run_smc
 from tame.inference.em import EMResult, em_update_params, fit_em
-from tame.inference.smoothed import TemporalAMESmoothedVI, fit_cavi_smoothed
+from tame.inference.smoothed import (
+    TemporalAMESmoothedVI,
+    fit_cavi_smoothed,
+    warm_init_smoothed_state,
+)
 
 __all__ = [
     "CaviState",
@@ -45,6 +49,7 @@ __all__ = [
     "TemporalAMENUTS",
     "TemporalAMESmoothedVI",
     "fit_cavi_smoothed",
+    "warm_init_smoothed_state",
     "fit_em",
     "em_update_params",
     "EMResult",

@@ -264,6 +264,97 @@ def _residual_stats_from_moments(dc: DiagConstants, obs: ObsConstants,
     return sq, cross
 
 
+def _masked_residual_stats(dc: DiagConstants, obs: ObsConstants,
+                           X_mean: Array, r: int, R_inv: Array,
+                           mask: Array) -> Tuple[Array, Array]:
+    """Masked analog of :func:`_residual_stats_from_moments`: dyadic
+    residual statistics over OBSERVED dyads without any O(n^2 T) read of
+    observation-sized float tensors.
+
+    With ``Y`` zeroed at masked entries (the fit invariant), the data-side
+    constants (``sum_y0_sq``, ``row_y0``, ...) and the A/B data-mean cross
+    terms are automatically restricted to observed dyads — identical to
+    the dense expansion.  Only the model-side moments change: the mask is
+    not rank-one, so ``sum_obs m_ij^2`` / ``sum_obs m_ij m_ji`` cannot
+    collapse into global moments.  But every term is bilinear in per-node
+    features, so both reduce to ONE eta-class MXU contraction of the mask
+    against a (4 + 5r + 2r^2)-column feature panel:
+
+        sum_j M_ij f(i) . g(j)  =  f(i) . (M g)_i
+
+    summed over (i, t).  Cost: one (n, n, T) mask pass — the same HBM
+    class as a single dyad-weight contraction — vs the O(n^2 T)
+    elementwise residual pass of ``diag_mode='exact'``.  No reference
+    counterpart (complete networks only, ``naive_mf.py:324-374``).
+    """
+    a, b, U, V = dyad_ops.split_state(X_mean, r)          # (n,T), (n,T,r)
+    p, q = R_inv[0, 0], R_inv[0, 1]
+    n, T = a.shape
+
+    # -- data-mean cross terms: same recovery as the dense path ------------
+    if dc.y0_pad is not None:
+        from tame.ops.dual_contract import dual_contract_padded
+
+        Vt = jnp.moveaxis(V, 1, 0)                        # (T, n, r)
+        rowV, colV = dual_contract_padded(
+            dc.y0_pad, Vt, interpret=jax.default_backend() == "cpu")
+        Ut = jnp.moveaxis(U, 1, 0)
+        A = jnp.sum(Ut * rowV)
+        B = jnp.sum(Ut * colV)
+    else:
+        W0V = _eta_contract(obs.W0, V)                    # (n, T, r)
+        W1V = _eta_contract(obs.W1, V)
+        s1 = jnp.sum(U * W0V)
+        s3 = jnp.sum(U * W1V)
+        denom = p * p - q * q
+        A = (p * s1 - q * s3) / denom
+        B = (p * s3 - q * s1) / denom
+    y_ab = jnp.sum(a * dc.row_y0) + jnp.sum(b * dc.col_y0)
+    y_abT = jnp.sum(a * dc.col_y0) + jnp.sum(b * dc.row_y0)
+
+    # -- masked partner statistics: one contraction, K columns -------------
+    VV = (V[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
+    OVU = (V[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
+    Z = jnp.concatenate([
+        jnp.ones_like(a)[..., None], a[..., None], b[..., None],
+        (b * b)[..., None],
+        U, V, a[..., None] * V, b[..., None] * V, b[..., None] * U,
+        VV, OVU], axis=-1)                                # (n, T, K)
+    C = _eta_contract(mask, Z)                            # (m g)_i panels
+    cnt, Ma, Mb, Mb2 = C[..., 0], C[..., 1], C[..., 2], C[..., 3]
+    o = 4
+    MU = C[..., o:o + r]
+    MV = C[..., o + r:o + 2 * r]
+    MaV = C[..., o + 2 * r:o + 3 * r]
+    MbV = C[..., o + 3 * r:o + 4 * r]
+    MbU = C[..., o + 4 * r:o + 5 * r]
+    o += 5 * r
+    MVV = C[..., o:o + r * r]
+    MOVU = C[..., o + r * r:]
+
+    UUo = (U[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
+    OUV = (U[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
+    U_MV = jnp.sum(U * MV, -1)                            # (n, T)
+
+    # sum_obs m_ij^2: per-i expansion of (a_i + b_j + U_i.V_j)^2
+    sum_m_sq = jnp.sum(a * a * cnt + 2.0 * a * Mb + Mb2
+                       + 2.0 * a * U_MV
+                       + 2.0 * jnp.sum(U * MbV, -1)
+                       + jnp.sum(UUo * MVV, -1))
+    # sum_obs m_ij m_ji: nine bilinear terms (M symmetric: the b_j a_j
+    # term re-sums to a.b counts, doubling the a_i b_i term)
+    sum_m_mT = jnp.sum(a * Ma + 2.0 * a * b * cnt + b * Mb
+                       + a * jnp.sum(V * MU, -1)
+                       + jnp.sum(V * MbU, -1)
+                       + jnp.sum(U * MaV, -1)
+                       + b * U_MV
+                       + jnp.sum(OUV * MOVU, -1))
+
+    sq = dc.sum_y0_sq - 2.0 * (y_ab + A) + sum_m_sq
+    cross = dc.sum_y0_y0T - 2.0 * (y_abT + B) + sum_m_mT
+    return sq, cross
+
+
 # ---------------------------------------------------------------------------
 # Observation-term assembly (all nodes & times at once)
 # ---------------------------------------------------------------------------
@@ -512,6 +603,18 @@ def compute_elbo(Y: Array, params: AMEParams, pri: PriorMatrices,
     """
     n, T, d = state.X_mean.shape
     r = (d - 2) // 2
+    if obs_mask is None:
+        m = dyad_ops.offdiag_mask(n)[:, :, None]
+        mask_stats = None
+    else:
+        # Zero the mask diagonal defensively (cf. fit_cavi) and sanitize Y
+        # BEFORE the residual: NaN-coded missing entries — the common
+        # real-data encoding and the repo invariant — must never be read,
+        # and 0 * NaN = NaN would poison the quad sum through a bare
+        # mask multiplication.
+        m = obs_mask * (1.0 - jnp.eye(n, dtype=obs_mask.dtype)[:, :, None])
+        Y = jnp.where(m[..., None] > 0, Y, 0.0)
+        mask_stats = (0.5 * jnp.sum(m), m.astype(jnp.float32).sum(1))
     if mu_dyadic is None:
         mu_dyadic = dyad_ops.dyadic_mean_temporal(state.X_mean, r)
 
@@ -523,13 +626,6 @@ def compute_elbo(Y: Array, params: AMEParams, pri: PriorMatrices,
     p_, q_ = params.R_inv[0, 0], params.R_inv[0, 1]
     e0, e1 = resid[..., 0], resid[..., 1]
     quad = p_ * (e0 * e0 + e1 * e1) + 2.0 * q_ * (e0 * e1)
-    if obs_mask is None:
-        m = dyad_ops.offdiag_mask(n)[:, :, None]
-        mask_stats = None
-    else:
-        m = obs_mask
-        mask_stats = (0.5 * jnp.sum(obs_mask),
-                      obs_mask.astype(jnp.float32).sum(1))
     quad_sum = 0.5 * jnp.sum(quad * m)  # i<j sum = half the off-diag sum
     return _elbo_from_quad(quad_sum, params, pri, state, structure,
                            mask_stats=mask_stats)
@@ -869,7 +965,8 @@ def init_state(key: Array, n: int, T: int, d: int, structure: str,
 def warm_init_state(Y: Array, params: AMEParams, *,
                     structure: str = "full", cov_init_scale: float = 0.5,
                     n_power_iters: int = 4,
-                    key: Optional[Array] = None) -> CaviState:
+                    key: Optional[Array] = None,
+                    obs_mask: Optional[Array] = None) -> CaviState:
     """Data-driven initialization: a two-way decomposition of the
     time-averaged network for the additive effects plus the top-r
     singular pairs of its residual for U/V.
@@ -893,21 +990,35 @@ def warm_init_state(Y: Array, params: AMEParams, *,
     * covariances use the same per-structure deterministic scheme as
       :func:`init_state` (no noise — the warm start is reproducible
       without a key; pass ``key`` to randomize the subspace probe).
+
+    ``obs_mask`` (n, n, T) restricts every average to OBSERVED dyads:
+    time averages divide by per-entry observed counts and row/col/grand
+    means by observed-partner counts, so at 30-50 % missingness the
+    additive effects do not shrink toward zero by the missing fraction
+    (they would under blind ``/(n-1)`` normalization of a zero-filled
+    network).  Masked entries of Y are never read (NaN-coding safe).
     """
     n, _, T, _ = Y.shape
     d = params.Phi.shape[0]
     r = (d - 2) // 2
-    mask = dyad_ops.offdiag_mask(n)
-    M = jnp.mean(Y[..., 0], axis=-1) * mask               # (n, n)
+    offd = dyad_ops.offdiag_mask(n)
+    if obs_mask is None:
+        M = jnp.mean(Y[..., 0], axis=-1) * offd           # (n, n)
+        w = offd                                          # entry weights
+    else:
+        om = obs_mask * offd[:, :, None]
+        y0 = jnp.where(om > 0, Y[..., 0], 0.0)
+        cnt_t = om.sum(-1)                                # (n, n)
+        M = y0.sum(-1) / jnp.maximum(cnt_t, 1.0)
+        w = (cnt_t > 0).astype(M.dtype)
 
-    c = jnp.asarray(n - 1, M.dtype)
-    row_mean = M.sum(1) / c
-    col_mean = M.sum(0) / c
-    grand = M.sum() / (n * c)
+    row_mean = M.sum(1) / jnp.maximum(w.sum(1), 1.0)
+    col_mean = M.sum(0) / jnp.maximum(w.sum(0), 1.0)
+    grand = M.sum() / jnp.maximum(w.sum(), 1.0)
     a = row_mean - grand / 2.0
     b = col_mean - grand / 2.0
 
-    resid = (M - a[:, None] - b[None, :]) * mask
+    resid = (M - a[:, None] - b[None, :]) * w
     if key is None:
         key = jax.random.PRNGKey(0)
     G = jax.random.normal(key, (n, r), M.dtype)
@@ -1024,11 +1135,15 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     are zeroed before the constant row sums, the observation precision is
     assembled from per-node masked partner statistics
     (:func:`_masked_obs_precision`), and the ELBO/MSE diagnostics run over
-    observed dyads only.  Supported with update modes ``jacobi``/``block``
-    and ``diag_mode='exact'``; the megakernel and the sufficient-statistics
-    diagnostics assume a complete network and are bypassed.  No reference
-    counterpart (complete networks only, ``naive_mf.py:324-374``);
-    build masks with :func:`tame.models.random_dyad_mask` or from data.
+    observed dyads only.  Supported with update modes ``jacobi``/``block``;
+    ``diag_mode='stats'`` uses the masked sufficient-statistics expansion
+    (:func:`_masked_residual_stats` — one extra mask contraction instead
+    of an O(n^2 T) residual pass) and ``mixed_precision`` stores mask and
+    dyad weights in bfloat16, so masked fits keep the full production fast
+    path.  Only the megakernel is bypassed (it assembles complete-network
+    statistics).  No reference counterpart (complete networks only,
+    ``naive_mf.py:324-374``); build masks with
+    :func:`tame.models.random_dyad_mask` or from data.
 
     ``carry_elbo``/``carry_patience`` seed the convergence bookkeeping
     (last evaluated ELBO and consecutive-small-change count) from a prior
@@ -1055,11 +1170,6 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
         if update_mode not in ("jacobi", "block"):
             raise ValueError(
                 "mask is supported with update_mode 'jacobi' or 'block'")
-        if diag_mode != "exact":
-            raise ValueError(
-                "mask requires diag_mode='exact' (the sufficient-"
-                "statistics diagnostics expansion assumes a complete "
-                "network)")
         fused = False  # the megakernel assembles complete-network stats
         # Zero the diagonal defensively; symmetry is the caller's contract
         # (each unordered dyad carries both directions in Y[i, j]).
@@ -1177,19 +1287,25 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
     # jnp.where (not multiplication) so NaN-coded missing entries — the
     # common real-data encoding — cannot poison the weights or the
     # masked diagnostics: masked entries of Y are genuinely never read.
+    mask_c = mask
     if mask is not None:
         Y = jnp.where(mask[..., None] > 0, Y, 0.0)
+        if mixed_precision:
+            # 0/1 entries are exact in bf16; the masked partner
+            # contractions then ride the same single-pass bf16 path as
+            # the dyad-weight contractions (half the mask HBM traffic).
+            mask_c = mask.astype(jnp.bfloat16)
     obs = precompute_obs_constants(
         Y, params.R_inv,
         w_dtype=jnp.bfloat16 if mixed_precision else None)
     pri = precompute_priors(params)
     if update_mode == "jacobi":
         step_fn = functools.partial(cavi_step_jacobi, corrected=corrected,
-                                    mask=mask)
+                                    mask=mask_c)
     elif update_mode == "block":
         step_fn = functools.partial(cavi_step_block_wrapper,
                                     num_blocks=num_blocks,
-                                    corrected=corrected, mask=mask)
+                                    corrected=corrected, mask=mask_c)
     else:
         step_fn = cavi_step_seq
 
@@ -1212,7 +1328,12 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
         mask_stats = None
 
     def diagnostics(state):
-        if diag_mode == "stats":
+        if diag_mode == "stats" and mask is not None:
+            # Masked sufficient-statistics path: observed-dyad residual
+            # stats from one mask contraction, no O(n^2 T) float reads.
+            sq, cross = _masked_residual_stats(
+                dc, obs, state.X_mean, r, params.R_inv, mask_c)
+        elif diag_mode == "stats":
             # Sufficient-statistics path: no O(n^2 T) reads.
             sq, cross = _residual_stats_from_moments(
                 dc, obs, state.X_mean, r, params.R_inv)

@@ -47,6 +47,7 @@ from tame.inference.smoothed import (
     SmoothedState,
     fit_cavi_smoothed,
     init_smoothed_state,
+    warm_init_smoothed_state,
 )
 from tame.models.params import AMEParams
 from tame.ops import dyad as dyad_ops
@@ -270,11 +271,7 @@ def fit_em(Y: Array, params0: AMEParams, *,
         # across time, and the phi M-step (a lag-1 correlation through
         # the latent frames) is biased low.  Measured at n=2000: random
         # init learns phi ~ 0.48 for truth 0.8; warm init recovers it.
-        Y0 = (jnp.where(mask[..., None] > 0, Y, 0.0)
-              if mask is not None else Y)
-        warm = cavi.warm_init_state(Y0, params0, structure="full")
-        state = init_smoothed_state(jax.random.PRNGKey(seed), n, T, d,
-                                    0.1)._replace(X_mean=warm.X_mean)
+        state = warm_init_smoothed_state(Y, params0, obs_mask=mask)
     else:
         state = init_smoothed_state(jax.random.PRNGKey(seed), n, T, d,
                                     0.1)
@@ -293,8 +290,12 @@ def fit_em(Y: Array, params0: AMEParams, *,
         "rho": []}
     prev = scalars(params)
     prev_elbo = -np.inf
-    lr = learning_rate
     for k in range(n_em):
+        # Fresh damping each EM iteration: a backoff is a response to THIS
+        # iteration's hyperparameters (a legitimate ELBO drop after an
+        # M-step — e.g. R learned larger — must not permanently over-damp
+        # every later E-step).
+        lr = learning_rate
         for attempt in range(4):
             out = fit_cavi_smoothed(Y, params, state,
                                     max_iter=inner_max_iter,

@@ -87,18 +87,13 @@ class TemporalAMECaviVI:
         if init_mode == "warm":
             # Data-driven warm start (cavi.warm_init_state): closed-form
             # additive effects + top-r subspace of the residual — lands
-            # inside the basin at a fraction of the iterations.
-            # Under a mask, warm-start from the zero-filled network so
-            # missing entries are never read (zero is the additive
-            # model's neutral element for the row/col means up to the
-            # observed-count normalization — adequate for an init).
-            Y_init = (self.Y if self.mask is None
-                      else jnp.where(self.mask[..., None] > 0, self.Y,
-                                     0.0))
+            # inside the basin at a fraction of the iterations.  Under a
+            # mask every average normalizes by OBSERVED counts (masked
+            # entries are never read).
             state = cavi.warm_init_state(
-                Y_init, self.params, structure=self.structure,
+                self.Y, self.params, structure=self.structure,
                 cov_init_scale=cov_init_scale,
-                key=jax.random.PRNGKey(seed))
+                key=jax.random.PRNGKey(seed), obs_mask=self.mask)
         elif init_mode == "random":
             state = cavi.init_state(
                 jax.random.PRNGKey(seed), self.n, self.T, self.d,

@@ -57,6 +57,11 @@ class SmoothedFitResult(NamedTuple):
     n_iter: Array
     converged: Array
     diverged: Array
+    # Convergence carry at exit (cf. cavi.FitResult): feed back as
+    # carry_elbo/carry_patience of a follow-up call to continue a fit in
+    # segments with BITWISE-identical stopping behavior.
+    last_elbo: Array = jnp.nan
+    pat_count: Array = 0
 
 
 def init_smoothed_state(key: Array, n: int, T: int, d: int,
@@ -71,10 +76,30 @@ def init_smoothed_state(key: Array, n: int, T: int, d: int,
                          X_cross=X_cross, logdets=logdets)
 
 
+def warm_init_smoothed_state(Y: Array, params: AMEParams,
+                             obs_mask: Array | None = None
+                             ) -> SmoothedState:
+    """Data-driven warm start for the smoothed family: the closed-form
+    centroid decomposition of :func:`tame.inference.cavi.warm_init_state`
+    (two-way additive fit + top-r SVD subspace, broadcast over T, masked
+    averages normalized by observed counts) with the smoothed family's
+    deterministic covariance scheme.  Deterministic — no key needed."""
+    warm = cavi.warm_init_state(Y, params, structure="full",
+                                obs_mask=obs_mask)
+    n, T, d = warm.X_mean.shape
+    eye = jnp.eye(d)
+    X_cov = jnp.broadcast_to(eye * 0.5, (n, T, d, d))
+    X_cross = jnp.zeros((n, max(T - 1, 0), d, d))
+    logdets = jnp.full((n,), -T * d * jnp.log(0.5))
+    return SmoothedState(X_mean=warm.X_mean, X_cov=jnp.asarray(X_cov),
+                         X_cross=X_cross, logdets=logdets)
+
+
 def smoothed_step(state: SmoothedState, obs: cavi.ObsConstants,
                   pri: cavi.PriorMatrices, params: AMEParams, lr: Array,
                   corrected: bool = True,
                   fused: bool = False,
+                  parallel: bool = False,
                   mask: Array | None = None) -> SmoothedState:
     """One simultaneous update: every node's trajectory re-solved exactly
     against the other nodes' current means.
@@ -83,7 +108,9 @@ def smoothed_step(state: SmoothedState, obs: cavi.ObsConstants,
     (:func:`tame.ops.fused_smoother.fused_smoother`) instead of the
     ``vmap``-ed ``lax.scan`` solver — one kernel for the whole batched
     solve, the north star's "AR(1) forward-backward smoothing as a fused
-    kernel" item.
+    kernel" item.  ``parallel=True`` uses the time-parallel associative-
+    scan smoother (:func:`tame.ops.ptridiag.parallel_block_tridiag_
+    smoother`, O(log T) depth) — the long-context lever when T is large.
     """
     n, T, d = state.X_mean.shape
     r = (d - 2) // 2
@@ -93,18 +120,24 @@ def smoothed_step(state: SmoothedState, obs: cavi.ObsConstants,
         D_obs = cavi._obs_precision(U, V, params.R_inv)
     else:  # missing-data fit: per-node masked partner statistics
         D_obs = cavi._masked_obs_precision(mask, U, V, params.R_inv)
-    D = D_obs + cavi._prior_precision(pri, T)[None]      # (n, T, d, d)
     b = cavi._obs_nat_param(obs, state.X_mean, r, params.R_inv,
                             corrected, mask=mask)         # (n, T, d)
-    O = -pri.Qinv_Phi.T                                   # -Phi' Q^-1
 
-    if fused:
-        # interpret mode lets CPU tests exercise the kernel (cf. fit_cavi)
-        out = fused_smoother(D, O, b,
-                             interpret=jax.default_backend() == "cpu")
+    if parallel:
+        from tame.ops.ptridiag import parallel_block_tridiag_smoother
+
+        out = jax.vmap(lambda Ji, bi: parallel_block_tridiag_smoother(
+            Ji, bi, params.Phi, params.Q, params.Sigma0))(D_obs, b)
     else:
-        out = jax.vmap(lambda Di, bi: block_tridiag_smoother(Di, O, bi))(
-            D, b)
+        D = D_obs + cavi._prior_precision(pri, T)[None]  # (n, T, d, d)
+        O = -pri.Qinv_Phi.T                              # -Phi' Q^-1
+        if fused:
+            # interpret mode lets CPU tests exercise the kernel
+            out = fused_smoother(D, O, b,
+                                 interpret=jax.default_backend() == "cpu")
+        else:
+            out = jax.vmap(
+                lambda Di, bi: block_tridiag_smoother(Di, O, bi))(D, b)
     X_mean = lr * out.mean + (1.0 - lr) * state.X_mean
     return SmoothedState(X_mean=X_mean.astype(state.X_mean.dtype),
                          X_cov=out.cov, X_cross=out.cross_cov,
@@ -122,6 +155,12 @@ def smoothed_elbo(Y: Array, params: AMEParams, pri: cavi.PriorMatrices,
     """
     n, T, d = state.X_mean.shape
     r = (d - 2) // 2
+    if obs_mask is not None:
+        # Sanitize BEFORE the residual (cf. cavi.compute_elbo): NaN-coded
+        # missing entries must never be read.
+        obs_mask = obs_mask * (
+            1.0 - jnp.eye(n, dtype=obs_mask.dtype)[:, :, None])
+        Y = jnp.where(obs_mask[..., None] > 0, Y, 0.0)
     if mu_dyadic is None:
         mu_dyadic = dyad_ops.dyadic_mean_temporal(state.X_mean, r)
 
@@ -129,16 +168,32 @@ def smoothed_elbo(Y: Array, params: AMEParams, pri: cavi.PriorMatrices,
     p_, q_ = params.R_inv[0, 0], params.R_inv[0, 1]
     e0, e1 = resid[..., 0], resid[..., 1]
     quad = p_ * (e0 * e0 + e1 * e1) + 2.0 * q_ * (e0 * e1)
-    tr_cov = jnp.trace(state.X_cov, axis1=-2, axis2=-1)
     if obs_mask is None:
         mask = dyad_ops.offdiag_mask(n)[:, :, None]
-        n_dyads = n * (n - 1) // 2 * T
-        wsum = (n - 1) * jnp.sum(tr_cov)
+        mask_stats = None
     else:  # observed dyads only (cf. cavi._elbo_from_quad mask_stats)
         mask = obs_mask
-        n_dyads = 0.5 * jnp.sum(obs_mask)
-        wsum = jnp.sum(obs_mask.sum(1) * tr_cov)
+        mask_stats = (0.5 * jnp.sum(obs_mask),
+                      obs_mask.astype(jnp.float32).sum(1))
     quad_sum = 0.5 * jnp.sum(quad * mask)
+    return smoothed_elbo_from_quad(quad_sum, params, pri, state,
+                                   mask_stats=mask_stats)
+
+
+def smoothed_elbo_from_quad(quad_sum: Array, params: AMEParams,
+                            pri: cavi.PriorMatrices, state: SmoothedState,
+                            mask_stats=None) -> Array:
+    """Smoothed ELBO given the precomputed likelihood quadratic form
+    ``sum_{i<j,t} resid' R^-1 resid`` (cf. ``cavi._elbo_from_quad``); all
+    remaining terms depend only on the variational state."""
+    n, T, d = state.X_mean.shape
+    tr_cov = jnp.trace(state.X_cov, axis1=-2, axis2=-1)
+    if mask_stats is None:
+        n_dyads = n * (n - 1) // 2 * T
+        wsum = (n - 1) * jnp.sum(tr_cov)
+    else:
+        n_dyads = mask_stats[0]
+        wsum = jnp.sum(mask_stats[1] * tr_cov)
     log_lik = -0.5 * (quad_sum + n_dyads * (pri.logdet_R + 2.0 * _LOG2PI))
     corr = 0.1 * jnp.trace(params.R_inv) / d * wsum
     log_lik = log_lik - 0.5 * corr
@@ -170,7 +225,7 @@ def smoothed_elbo(Y: Array, params: AMEParams, pri: cavi.PriorMatrices,
         priort = -0.5 * (quadt + tr_t + tr_prev - 2.0 * tr_cross
                          + n * (T - 1) * (pri.logdet_Q + d * _LOG2PI))
     else:
-        priort = jnp.asarray(0.0, Y.dtype)
+        priort = jnp.asarray(0.0, state.X_mean.dtype)
 
     # entropy of the joint trajectories: 0.5 (Td (1+log 2 pi) - logdet P)
     entropy = 0.5 * (n * T * d * (1.0 + _LOG2PI)
@@ -183,10 +238,41 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
                       tolerance=1e-4, patience: int = 3,
                       corrected: bool = True,
                       fused="auto",
+                      smoother: str = "auto",
+                      mixed_precision: bool = False,
+                      diag_mode: str = "exact",
+                      carry_elbo=None, carry_patience=0,
                       mask: Array | None = None) -> SmoothedFitResult:
     """``fused``: True forces the Pallas forward-backward kernel, False the
     ``vmap``-ed scan solver, "auto" (default) picks the kernel on TPU when
-    the shape is supported (``TAME_DISABLE_FUSED_FIT=1`` disables)."""
+    the shape is supported (``TAME_DISABLE_FUSED_FIT=1`` disables).
+
+    ``smoother`` selects the trajectory solver when the Pallas kernel is
+    not in play: ``"sequential"`` is the O(T)-depth scan
+    (``tame.ops.tridiag``), ``"parallel"`` the O(log T)-depth
+    associative-scan smoother (``tame.ops.ptridiag``, Särkkä &
+    García-Fernández 2021) — exact to float32 tolerance; ``"auto"``
+    picks parallel once T >= 128 (below that the sequential depth is
+    microseconds and the parallel variant's ~log T extra FLOPs don't
+    pay).
+
+    ``mixed_precision``/``diag_mode`` select the same production fast
+    path as ``cavi.fit_cavi``: bf16 dyad-weight (and mask) storage with
+    f32 accumulation, and sufficient-statistics ELBO/MSE diagnostics
+    (``"stats"``) instead of the O(n^2 T) residual pass — masked or
+    dense.  The smoothed family is the EM E-step, so its at-scale cost
+    bounds hyperparameter learning; these flags keep it on the same
+    HBM budget as the CAVI engines.
+
+    ``carry_elbo``/``carry_patience`` seed the convergence bookkeeping
+    from a prior segment's ``SmoothedFitResult.last_elbo``/``.pat_count``
+    so a fit run in segments (engine in-fit checkpointing) stops at
+    EXACTLY the same iteration as the uninterrupted fit (cf.
+    ``cavi.fit_cavi``)."""
+    if diag_mode not in ("exact", "stats"):
+        raise ValueError(f"unknown diag_mode: {diag_mode!r}")
+    if smoother not in ("auto", "sequential", "parallel"):
+        raise ValueError(f"unknown smoother: {smoother!r}")
     buf = 64
     while buf < max_iter:
         buf *= 2
@@ -213,81 +299,148 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
     elif fused and not fused_smoother_supported(n, T, d):
         raise ValueError(f"fused smoother unsupported for n={n}, T={T}, "
                          f"d={d} (needs T >= 2, d <= 12, VMEM-sized tile)")
+    if smoother == "auto":
+        smoother = ("parallel" if T >= 128 and not fused
+                    else "sequential")
+    if smoother == "parallel":
+        fused = False  # mutually exclusive solver choices
+    # Evaluated OUTSIDE jit so env-var toggles are not baked into a cached
+    # trace (cf. cavi.fit_cavi).
+    dual_diag = (diag_mode == "stats" and mixed_precision
+                 and not os.environ.get("TAME_DISABLE_FUSED_FIT"))
     return _fit_smoothed_impl(Y, params, init, jnp.asarray(max_iter),
                               jnp.asarray(learning_rate, Y.dtype),
                               jnp.asarray(tolerance, Y.dtype),
+                              jnp.asarray(-jnp.inf if carry_elbo is None
+                                          else carry_elbo, Y.dtype),
+                              jnp.asarray(carry_patience),
                               buf_size=buf, patience=patience,
                               corrected=corrected, fused=bool(fused),
+                              parallel=(smoother == "parallel"),
+                              mixed_precision=mixed_precision,
+                              diag_mode=diag_mode, dual_diag=dual_diag,
                               mask=mask)
 
 
 @functools.partial(jax.jit, static_argnames=("buf_size", "patience",
-                                             "corrected", "fused"))
-def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol, *,
+                                             "corrected", "fused",
+                                             "parallel",
+                                             "mixed_precision",
+                                             "diag_mode", "dual_diag"))
+def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol,
+                       carry_elbo, carry_patience, *,
                        buf_size: int, patience: int,
                        corrected: bool,
                        fused: bool = False,
+                       parallel: bool = False,
+                       mixed_precision: bool = False,
+                       diag_mode: str = "exact",
+                       dual_diag: bool = False,
                        mask=None) -> SmoothedFitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
     r = (d - 2) // 2
     # where (not multiplication): NaN-coded missing entries must not
     # poison the weights or diagnostics (cf. cavi._fit_cavi_impl).
+    mask_c = mask
     if mask is not None:
         Y = jnp.where(mask[..., None] > 0, Y, 0.0)
-    obs = cavi.precompute_obs_constants(Y, params.R_inv)
+        if mixed_precision:
+            mask_c = mask.astype(jnp.bfloat16)
+    obs = cavi.precompute_obs_constants(
+        Y, params.R_inv,
+        w_dtype=jnp.bfloat16 if mixed_precision else None)
     pri = cavi.precompute_priors(params)
-    n_obs = (jnp.maximum(jnp.sum(mask), 1.0)
-             if mask is not None else None)
+    dc = (cavi.precompute_diag_constants(Y, dual_diag=dual_diag)
+          if diag_mode == "stats" else None)
+    if mask is not None:
+        mask_stats = (0.5 * jnp.sum(mask),
+                      mask.astype(jnp.float32).sum(1))
+        n_obs = jnp.maximum(jnp.sum(mask), 1.0)
+    else:
+        mask_stats = None
 
     def cond(carry):
         state, it, prev, pat, conv, div, eh, mh = carry
         running = jnp.logical_not(jnp.logical_or(conv, div))
         return jnp.logical_and(it < max_iter, running)
 
+    def diagnostics(state):
+        """Likelihood residual statistics -> (elbo, mse); same four-way
+        dispatch as cavi._fit_cavi_impl (stats expansion or exact
+        residual pass, dense or masked)."""
+        if diag_mode == "stats" and mask is not None:
+            sq, cross = cavi._masked_residual_stats(
+                dc, obs, state.X_mean, r, params.R_inv, mask_c)
+        elif diag_mode == "stats":
+            sq, cross = cavi._residual_stats_from_moments(
+                dc, obs, state.X_mean, r, params.R_inv)
+        elif mask is not None:
+            fwd = dyad_ops.dyadic_fwd_temporal(state.X_mean, r)
+            e0 = (Y[..., 0] - fwd) * mask
+            sq = jnp.sum(e0 * e0)
+            cross = jnp.einsum("ijt,jit->", e0, e0,
+                               preferred_element_type=jnp.float32,
+                               precision=HIGHEST)
+        else:
+            fwd = dyad_ops.dyadic_fwd_temporal(state.X_mean, r)
+            sq, cross = dyad_ops.residual_stats_from_fwd(Y, fwd)
+        p_, q_ = params.R_inv[0, 0], params.R_inv[0, 1]
+        quad_sum = p_ * sq + q_ * cross
+        elbo = smoothed_elbo_from_quad(quad_sum, params, pri, state,
+                                       mask_stats=mask_stats)
+        if mask is not None:
+            mse = 2.0 * sq / n_obs
+        else:
+            mse = 2.0 * sq / (n * (n - 1) * T)
+        return elbo, mse
+
     def body(carry):
         state, it, prev, pat, conv, div, eh, mh = carry
         state = smoothed_step(state, obs, pri, params, lr, corrected,
-                              fused=fused, mask=mask)
-        mu = dyad_ops.dyadic_mean_temporal(state.X_mean, r)
-        elbo = smoothed_elbo(Y, params, pri, state, mu_dyadic=mu,
-                             obs_mask=mask)
-        if mask is None:
-            mse = dyad_ops.masked_sq_error_temporal(Y, mu)
-        else:
-            e0 = (Y[..., 0] - mu[..., 0]) * mask
-            mse = 2.0 * jnp.sum(e0 * e0) / n_obs
+                              fused=fused, parallel=parallel,
+                              mask=mask_c)
+        elbo, mse = diagnostics(state)
         eh = eh.at[it].set(elbo)
         mh = mh.at[it].set(mse)
         rel = jnp.abs(elbo - prev) / (jnp.abs(prev) + 1e-8)
-        small = jnp.logical_and(it > 0, rel < tol)
+        # A finite prev (fresh: -inf; segmented fits: the carry) is the
+        # "have a previous evaluation" signal, so a continued segment
+        # checks convergence from its very first iteration.
+        small = jnp.logical_and(jnp.isfinite(prev), rel < tol)
         pat = jnp.where(small, pat + 1, 0)
         conv = pat >= patience
         div = jnp.logical_not(jnp.isfinite(elbo))
         return state, it + 1, elbo, pat, conv, div, eh, mh
 
     nanbuf = jnp.full((buf_size,), jnp.nan, Y.dtype)
-    carry = (init, jnp.asarray(0), jnp.asarray(-jnp.inf, Y.dtype),
-             jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
+    carry = (init, jnp.asarray(0), carry_elbo.astype(Y.dtype),
+             carry_patience, jnp.asarray(False), jnp.asarray(False),
              nanbuf, nanbuf)
-    state, it, _, _, conv, div, eh, mh = jax.lax.while_loop(cond, body,
-                                                            carry)
+    state, it, last, pat, conv, div, eh, mh = jax.lax.while_loop(cond, body,
+                                                                 carry)
     return SmoothedFitResult(state=state, elbo_history=eh, mse_history=mh,
-                             n_iter=it, converged=conv, diverged=div)
+                             n_iter=it, converged=conv, diverged=div,
+                             last_elbo=last, pat_count=pat)
 
 
 class TemporalAMESmoothedVI:
     """Engine class for the smoothed (joint-trajectory) family.
 
-    Same ``fit`` surface as the other engines; ``X_cov`` holds marginal
-    covariances, ``X_cross`` the lag-1 cross-covariances.
+    Same ``fit`` surface as the other engines — including warm init
+    (``init_mode='warm'``) and segmented in-fit checkpointing with
+    bitwise-identical resume (``checkpoint_every``/``resume``, cf.
+    :class:`tame.inference.engine.TemporalAMECaviVI`); ``X_cov`` holds
+    marginal covariances, ``X_cross`` the lag-1 cross-covariances.
     """
 
     structure = "smoothed"
 
     def __init__(self, model, learning_rate: float = 0.8,
                  init_scale: float = 0.1, seed: int = 42,
-                 corrected: bool = True, mask=None):
+                 corrected: bool = True, init_mode: str = "random",
+                 mixed_precision: bool = False, diag_mode: str = "exact",
+                 mask=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -298,13 +451,25 @@ class TemporalAMESmoothedVI:
         self.lr = learning_rate
         self.seed = seed
         self.corrected = corrected
+        self.mixed_precision = mixed_precision
+        self.diag_mode = diag_mode
         # Missing-data support: (n, n, T) dyad observation mask (shared
         # surface with the other engines; see cavi.fit_cavi).
         self.mask = None if mask is None else jnp.asarray(mask)
         self.params = model.params
         self.history = {"elbo": [], "reconstruction_error": []}
-        st = init_smoothed_state(jax.random.PRNGKey(seed), self.n, self.T,
-                                 self.d, init_scale)
+        self._carry_elbo = None
+        self._carry_pat = 0
+        self._converged = False
+        self._diverged = False
+        if init_mode == "warm":
+            st = warm_init_smoothed_state(self.Y, self.params,
+                                          obs_mask=self.mask)
+        elif init_mode == "random":
+            st = init_smoothed_state(jax.random.PRNGKey(seed), self.n,
+                                     self.T, self.d, init_scale)
+        else:
+            raise ValueError(f"unknown init_mode '{init_mode}'")
         self._state = st
 
     @property
@@ -320,24 +485,91 @@ class TemporalAMESmoothedVI:
         return self._state.X_cross
 
     def fit(self, max_iter: int = 100, tolerance: float = 1e-4,
-            verbose: bool = True, check_every: int = 10):
+            verbose: bool = True, check_every: int = 10,
+            checkpoint_every=None, ckpt_dir=None, resume: bool = False):
+        """Run smoothed CAVI to convergence.
+
+        ``checkpoint_every``/``ckpt_dir``/``resume`` mirror the CAVI
+        engine (``engine.TemporalAMECaviVI.fit``): the compiled loop runs
+        in segments, each followed by an async checkpoint + progress
+        line; the convergence carry threads through segments so a
+        segmented (or killed-and-resumed) fit stops at EXACTLY the same
+        iteration as the uninterrupted one.
+        """
         import numpy as np
 
-        result = jax.block_until_ready(fit_cavi_smoothed(
-            self.Y, self.params, self._state, max_iter=max_iter,
-            learning_rate=self.lr, tolerance=tolerance,
-            corrected=self.corrected, mask=self.mask))
-        self._state = result.state
-        n_iter = int(result.n_iter)
-        eh = np.asarray(result.elbo_history)[:n_iter]
-        mh = np.asarray(result.mse_history)[:n_iter]
-        self.history["elbo"].extend(float(v) for v in eh)
-        self.history["reconstruction_error"].extend(float(v) for v in mh)
-        if verbose:
-            for it in range(n_iter):
-                if it % check_every == 0 or it == n_iter - 1:
-                    print(f"Iter {it:4d} | ELBO: {eh[it]:10.2f} | "
-                          f"MSE: {mh[it]:.6f}")
+        if resume:
+            if ckpt_dir is None:
+                raise ValueError("resume=True requires ckpt_dir")
+            import os
+
+            if os.path.exists(os.fspath(ckpt_dir)):
+                self.load_checkpoint(ckpt_dir)
+
+        done = len(self.history["elbo"])
+        budget = max_iter - done if resume else max_iter
+        if budget <= 0:
+            return self.history
+        segment = checkpoint_every or budget
+        if not (resume and done > 0):
+            self._carry_elbo = None
+            self._carry_pat = 0
+            self._converged = False
+            self._diverged = False
+        seg_start = done
+        ckptr = None
+        if checkpoint_every and ckpt_dir is not None:
+            from tame.io.async_ckpt import AsyncCheckpointer
+
+            ckptr = AsyncCheckpointer()
+        while budget > 0 and not (self._converged or self._diverged):
+            seg = min(segment, budget)
+            result = jax.block_until_ready(fit_cavi_smoothed(
+                self.Y, self.params, self._state, max_iter=seg,
+                learning_rate=self.lr, tolerance=tolerance,
+                corrected=self.corrected, mask=self.mask,
+                mixed_precision=self.mixed_precision,
+                diag_mode=self.diag_mode,
+                carry_elbo=self._carry_elbo,
+                carry_patience=self._carry_pat))
+            self._state = result.state
+            n_iter = int(result.n_iter)
+            eh = np.asarray(result.elbo_history)[:n_iter]
+            mh = np.asarray(result.mse_history)[:n_iter]
+            self.history["elbo"].extend(float(v) for v in eh)
+            self.history["reconstruction_error"].extend(
+                float(v) for v in mh)
+            self._converged = bool(result.converged)
+            self._diverged = bool(result.diverged)
+            self._carry_elbo = float(result.last_elbo)
+            self._carry_pat = int(result.pat_count)
+            budget -= n_iter
+
+            if checkpoint_every:
+                if ckptr is not None:
+                    ckptr.save(ckpt_dir, self._checkpoint_state())
+                if verbose and n_iter:
+                    total = len(self.history["elbo"])
+                    print(f"Iter {total - 1:4d} | "
+                          f"ELBO: {eh[-1]:10.2f} | MSE: {mh[-1]:.6f}"
+                          + (" | checkpointed" if ckpt_dir else ""),
+                          flush=True)
+        if ckptr is not None:
+            ckptr.wait()
+
+        n_total = len(self.history["elbo"])
+        if self._diverged:
+            print(f"WARNING: {self.__class__.__name__} halted at "
+                  f"iteration {n_total - 1}: ELBO became non-finite "
+                  "(try a smaller learning_rate).")
+        if verbose and not checkpoint_every:
+            eh_all = self.history["elbo"]
+            mh_all = self.history["reconstruction_error"]
+            for it in range(seg_start, n_total):
+                if (it - seg_start) % check_every == 0 \
+                        or it == n_total - 1:
+                    print(f"Iter {it:4d} | ELBO: {eh_all[it]:10.2f} | "
+                          f"MSE: {mh_all[it]:.6f}")
         return self.history
 
     def get_variational_means(self):
@@ -359,14 +591,10 @@ class TemporalAMESmoothedVI:
                                 length=n_steps)
         return jnp.swapaxes(preds, 0, 1)  # (n, n_steps, d)
 
-    def save_checkpoint(self, ckpt_dir) -> None:
-        """Checkpoint the full smoothed-fit state (means, marginal and
-        lag-1 cross covariances, logdets, history) for restart."""
+    def _checkpoint_state(self):
         import numpy as np
 
-        from tame.io import save_checkpoint
-
-        save_checkpoint(ckpt_dir, {
+        return {
             "X_mean": self._state.X_mean,
             "X_cov": self._state.X_cov,
             "X_cross": self._state.X_cross,
@@ -379,7 +607,19 @@ class TemporalAMESmoothedVI:
             "structure": self.structure,
             "learning_rate": self.lr,
             "seed": self.seed,
-        })
+            "carry_elbo": self._carry_elbo,
+            "carry_pat": self._carry_pat,
+            "converged": bool(self._converged),
+            "diverged": bool(self._diverged),
+        }
+
+    def save_checkpoint(self, ckpt_dir) -> None:
+        """Checkpoint the full smoothed-fit state (means, marginal and
+        lag-1 cross covariances, logdets, history, convergence carry) for
+        restart."""
+        from tame.io import save_checkpoint
+
+        save_checkpoint(ckpt_dir, self._checkpoint_state())
 
     def load_checkpoint(self, ckpt_dir) -> None:
         """Restore a checkpoint saved by :meth:`save_checkpoint`; a
@@ -403,3 +643,7 @@ class TemporalAMESmoothedVI:
             "reconstruction_error": list(np.asarray(
                 state["history"]["reconstruction_error"]).tolist()),
         }
+        self._carry_elbo = state.get("carry_elbo")
+        self._carry_pat = int(state.get("carry_pat", 0))
+        self._converged = bool(state.get("converged", False))
+        self._diverged = bool(state.get("diverged", False))

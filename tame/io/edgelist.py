@@ -78,11 +78,16 @@ def edgelist_to_tensors(senders: Sequence, receivers: Sequence,
 
     directed = np.zeros((n, n, T), dtype=np.float32)
     seen = np.zeros((n, n, T), dtype=bool)
-    counts = np.unique(np.stack([si, ri, times]), axis=1,
-                       return_counts=True)[1]
-    n_duplicates = int((counts - 1).sum())  # records overwritten
-    directed[si, ri, times] = values
-    seen[si, ri, times] = True
+    # Duplicate (sender, receiver, time) records: keep the LAST occurrence
+    # explicitly (numpy fancy-index assignment ordering is unspecified for
+    # repeated indices, so `directed[si, ri, times] = values` alone would
+    # leave the winner implementation-defined).
+    lin = (si * n + ri) * T + times
+    _, first_of_reversed = np.unique(lin[::-1], return_index=True)
+    keep = len(lin) - 1 - first_of_reversed  # last occurrence per key
+    n_duplicates = len(lin) - len(keep)      # records overwritten
+    directed[si[keep], ri[keep], times[keep]] = values[keep]
+    seen[si[keep], ri[keep], times[keep]] = True
 
     both = seen & np.swapaxes(seen, 0, 1)
     n_dropped = int((seen & ~both).sum())

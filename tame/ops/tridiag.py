@@ -27,22 +27,17 @@ depth is T (50 at the north-star scale) of tiny d x d ops, with all nodes
 in parallel.  A fused Pallas version (whole solve in one kernel, nodes on
 lanes) lives in ``tame.ops.fused_smoother``.
 
-**Negative result — associative-scan (parallel-prefix) variant.**  The
-forward Riccati recursion linearizes to 2d x 2d transfer-matrix products
-via the homogeneous representation ``S_t = U_t V_t^-1`` with
-``M_t = [[D_t O^-1, -O'], [O^-1, 0]]``, which makes the whole smoother
-four ``jax.lax.associative_scan`` passes (depth O(log T)).  Implemented
-and measured (2026-08-19): the prefix products' condition number grows
-exponentially (cond(V) ~ 1e5 by t=5, ~3e9 by t=50 on typical CAVI
-systems), so the float32 ``U V^-1`` solve produces garbage/NaN beyond
-t ~ 10 — max-abs renormalization inside the combine (the representation
-is scale-invariant) does not help because the failure is conditioning,
-not overflow.  A numerically sound parallel formulation needs the
-conditional-Gaussian element parametrization of Särkkä &
-García-Fernández (2021).  At T ~ 50 the sequential depth costs
-microseconds, so T-sharding of the *exact* smoother is deliberately
-deferred; the CAVI engines shard T today via the halo-exchange
-Gauss–Seidel path (``tame.parallel``).
+**Time-parallel variant.**  A first associative-scan attempt linearized
+the forward Riccati recursion to 2d x 2d transfer-matrix products via
+the homogeneous representation ``S_t = U_t V_t^-1`` — measured
+(2026-08-19) to be numerically unusable: the prefix products' condition
+number grows exponentially (cond(V) ~ 3e9 by t=50 on typical CAVI
+systems), and renormalization cannot fix a conditioning failure.  The
+numerically sound O(log T)-depth formulation — the conditional-Gaussian
+element parametrization of Särkkä & García-Fernández (2021) — is
+implemented in :mod:`tame.ops.ptridiag` and validated against this
+solver to float32 tolerance at T up to 512; ``fit_cavi_smoothed``
+auto-selects it once T >= 128.
 """
 
 from __future__ import annotations

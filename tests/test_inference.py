@@ -260,6 +260,7 @@ class TestBlockGaussSeidel:
         e_b = float(np.asarray(out_b.elbo_history)[int(out_b.n_iter) - 1])
         assert abs(e_j - e_b) / abs(e_b) < 0.02
 
+    @pytest.mark.slow
     def test_block_stable_where_jacobi_oscillates(self):
         """At moderate n the block sweep must converge at a damping where
         pure Jacobi oscillates (the reason the mode exists)."""
@@ -303,6 +304,7 @@ class TestBlockGaussSeidel:
 
 
 class TestCorrectedMode:
+    @pytest.mark.slow
     def test_corrected_improves_fixed_point(self):
         """The reference's natural parameter omits the other-node offsets
         (SURVEY.md §2C-4), biasing its fixed point; the corrected update
@@ -354,6 +356,7 @@ class TestCorrectedMode:
 
 
 class TestSmoothedEngine:
+    @pytest.mark.slow
     def test_smoothed_matches_or_beats_good(self):
         from tame.inference import (
             TemporalAMESmoothedVI,
@@ -372,6 +375,7 @@ class TestSmoothedEngine:
         assert (hs["reconstruction_error"][-1]
                 <= hg["reconstruction_error"][-1] * 1.05)
 
+    @pytest.mark.slow
     def test_fused_smoother_kernel_matches_scan(self):
         """Pallas forward-backward kernel vs the vmapped lax.scan solver
         on random SPD block-tridiagonal systems (interpret mode on CPU)."""
@@ -397,6 +401,7 @@ class TestSmoothedEngine:
         assert np.allclose(np.asarray(ref.logdet), np.asarray(got.logdet),
                            rtol=1e-5)
 
+    @pytest.mark.slow
     def test_fused_smoothed_fit_matches_scan_fit(self):
         """Whole smoothed fit through the Pallas kernel path vs the scan
         path.  Pre-convergence trajectories are chaotic (a contracting map
@@ -436,6 +441,76 @@ class TestSmoothedEngine:
         # marginal covariances SPD
         eigs = np.linalg.eigvalsh(np.asarray(sm.X_cov))
         assert np.all(eigs > 0)
+
+    def test_smoothed_warm_init(self):
+        """init_mode='warm': runs, and reaches at least as good a final
+        ELBO as the random init under the same budget."""
+        from tame.inference import TemporalAMESmoothedVI
+
+        model = TemporalAMEModel(n_nodes=10, n_time=5, latent_dim=2,
+                                 seed=1)
+        model.generate_data()
+        w = TemporalAMESmoothedVI(model, init_mode="warm")
+        hw = w.fit(max_iter=60, tolerance=1e-6, verbose=False)
+        rnd = TemporalAMESmoothedVI(model, init_mode="random")
+        hr = rnd.fit(max_iter=60, tolerance=1e-6, verbose=False)
+        assert hw["elbo"][-1] >= hr["elbo"][-1] - 1.0
+
+    def test_smoothed_segmented_checkpoint_resume(self, tmp_path):
+        """Segmented in-fit checkpointing + kill-and-resume reproduce the
+        uninterrupted fit BITWISE (cf. the CAVI engine's guarantee)."""
+        from tame.inference import TemporalAMESmoothedVI
+
+        model = TemporalAMEModel(n_nodes=8, n_time=4, latent_dim=1,
+                                 seed=3)
+        model.generate_data()
+        a = TemporalAMESmoothedVI(model, seed=3)
+        ha = a.fit(max_iter=40, tolerance=1e-5, verbose=False)
+        td = str(tmp_path / "ck")
+        b = TemporalAMESmoothedVI(model, seed=3)
+        b.fit(max_iter=40, tolerance=1e-5, verbose=False,
+              checkpoint_every=7, ckpt_dir=td)
+        assert ha["elbo"] == b.history["elbo"]
+        assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
+        # kill after 15 iterations, resume to the same total budget
+        c = TemporalAMESmoothedVI(model, seed=3)
+        c.fit(max_iter=15, tolerance=1e-5, verbose=False,
+              checkpoint_every=7, ckpt_dir=td)
+        d = TemporalAMESmoothedVI(model, seed=3)
+        d.fit(max_iter=40, tolerance=1e-5, verbose=False,
+              checkpoint_every=7, ckpt_dir=td, resume=True)
+        assert d.history["elbo"] == ha["elbo"]
+        assert np.array_equal(np.asarray(a.X_mean), np.asarray(d.X_mean))
+        assert np.array_equal(np.asarray(a.X_cross),
+                              np.asarray(d.X_cross))
+
+    def test_smoothed_stats_and_mixed_precision(self):
+        """The production fast path for the smoothed family: stats
+        diagnostics match the exact pass; bf16 weights track f32 MSE."""
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed,
+            init_smoothed_state,
+        )
+
+        model = TemporalAMEModel(n_nodes=12, n_time=6, latent_dim=2,
+                                 seed=2)
+        Y, _ = model.generate_data(return_latents=True)
+        init = init_smoothed_state(jax.random.PRNGKey(0), 12, 6, 6, 0.1)
+        kw = dict(max_iter=30, learning_rate=0.8, tolerance=0.0)
+        a = fit_cavi_smoothed(Y, model.params, init, diag_mode="exact",
+                              **kw)
+        b = fit_cavi_smoothed(Y, model.params, init, diag_mode="stats",
+                              **kw)
+        ea = np.asarray(a.elbo_history)[:30]
+        eb = np.asarray(b.elbo_history)[:30]
+        assert np.max(np.abs((ea - eb) / ea)) < 1e-4
+        assert np.array_equal(np.asarray(a.state.X_mean),
+                              np.asarray(b.state.X_mean))
+        c = fit_cavi_smoothed(Y, model.params, init, diag_mode="stats",
+                              mixed_precision=True, **kw)
+        ma = float(np.asarray(a.mse_history)[29])
+        mc = float(np.asarray(c.mse_history)[29])
+        assert abs(mc - ma) / ma < 0.05
 
 
 class TestElboEvery:
@@ -488,6 +563,7 @@ class TestFastDiagnostics:
     ELBO/MSE exactly (up to summation order) under the reciprocity
     invariant."""
 
+    @pytest.mark.slow
     def test_fwd_stats_match_stacked(self):
         from tame.ops import dyad as dyad_ops
 
@@ -546,6 +622,7 @@ class TestMixedPrecision:
 
 
 class TestStatsDiagnostics:
+    @pytest.mark.slow
     @pytest.mark.parametrize("rho", [0.0, 0.5, 0.8])
     def test_matches_exact_history(self, rho):
         """diag_mode='stats' must reproduce the exact ELBO/MSE histories to
@@ -595,6 +672,7 @@ class TestStatsDiagnostics:
         assert np.allclose(np.asarray(row), np.asarray(rref), atol=1e-5)
         assert np.allclose(np.asarray(col), np.asarray(cref), atol=1e-5)
 
+    @pytest.mark.slow
     def test_dual_diag_matches_exact_history(self):
         """mixed_precision + diag_mode='stats' routes A/B through the
         dual-contraction kernel; histories must still track the exact
@@ -692,6 +770,7 @@ class TestWarmInit:
             TemporalAMEStructuredMFVI(model, init_mode="bogus")
 
 
+@pytest.mark.slow
 class TestFusedFit:
     """Whole-fit Pallas megakernel (tame/ops/fused_fit.py) vs the XLA path.
 
@@ -864,6 +943,7 @@ class TestMaskedFit:
         assert np.array_equal(np.asarray(c.elbo_history)[:40],
                               np.asarray(d.elbo_history)[:40])
 
+    @pytest.mark.slow
     def test_heldout_recovery(self):
         """Fitting on 70% of dyads must still recover the held-out 30%:
         held-out recon MSE within 2x of the observed-dyad MSE and far
@@ -907,9 +987,90 @@ class TestMaskedFit:
         with pytest.raises(ValueError, match="mask is supported"):
             cavi.fit_cavi(Y, model.params, init, update_mode="seq",
                           mask=mask)
-        with pytest.raises(ValueError, match="diag_mode='exact'"):
-            cavi.fit_cavi(Y, model.params, init, diag_mode="stats",
-                          update_mode="jacobi", mask=mask)
+
+    @pytest.mark.parametrize("update_mode", ["jacobi", "block"])
+    def test_masked_stats_matches_exact(self, update_mode):
+        """diag_mode='stats' under a mask (the masked sufficient-
+        statistics expansion, cavi._masked_residual_stats) must agree
+        with the masked exact residual pass to float32 reduction error —
+        and must not perturb the updates at all."""
+        from tame.models import random_dyad_mask
+
+        model, Y, init = self._setup(n=14, T=6, r=2, seed=3)
+        mask = random_dyad_mask(jax.random.PRNGKey(5), 14, 6, 0.35)
+        kw = dict(structure="full", max_iter=40, learning_rate=0.6,
+                  tolerance=0.0, update_mode=update_mode, mask=mask)
+        if update_mode == "block":
+            kw["num_blocks"] = 7
+        a = cavi.fit_cavi(Y, model.params, init, diag_mode="exact", **kw)
+        b = cavi.fit_cavi(Y, model.params, init, diag_mode="stats", **kw)
+        ea = np.asarray(a.elbo_history)[:40]
+        eb = np.asarray(b.elbo_history)[:40]
+        ma = np.asarray(a.mse_history)[:40]
+        mb = np.asarray(b.mse_history)[:40]
+        assert np.max(np.abs((ea - eb) / ea)) < 1e-4
+        assert np.max(np.abs((ma - mb) / ma)) < 1e-4
+        assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
+
+    def test_masked_stats_nan_coded(self):
+        """NaN-coded missing entries through the masked stats path:
+        bitwise-identical to zero-coded."""
+        from tame.models import random_dyad_mask
+
+        model, Y, init = self._setup()
+        mask = random_dyad_mask(jax.random.PRNGKey(7), 12, 5, 0.3)
+        Ynan = jnp.where(mask[..., None] > 0, Y, jnp.nan)
+        kw = dict(structure="full", max_iter=30, learning_rate=0.7,
+                  tolerance=0.0, update_mode="jacobi", diag_mode="stats",
+                  mask=mask)
+        a = cavi.fit_cavi(Y, model.params, init, **kw)
+        b = cavi.fit_cavi(Ynan, model.params, init, **kw)
+        assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
+        assert np.array_equal(np.asarray(a.elbo_history),
+                              np.asarray(b.elbo_history), equal_nan=True)
+
+    def test_masked_mixed_precision_tracks_f32(self):
+        """The production fast path (stats + bf16 weights AND bf16 mask)
+        under a mask: final MSE within bf16 rounding of the f32 fit."""
+        from tame.models import random_dyad_mask
+
+        model, Y, init = self._setup(n=14, T=6, r=2, seed=3)
+        mask = random_dyad_mask(jax.random.PRNGKey(5), 14, 6, 0.35)
+        kw = dict(structure="full", max_iter=40, learning_rate=0.6,
+                  tolerance=0.0, update_mode="jacobi", mask=mask)
+        a = cavi.fit_cavi(Y, model.params, init, diag_mode="exact", **kw)
+        b = cavi.fit_cavi(Y, model.params, init, diag_mode="stats",
+                          mixed_precision=True, **kw)
+        ma = float(np.asarray(a.mse_history)[39])
+        mb = float(np.asarray(b.mse_history)[39])
+        assert np.isfinite(mb)
+        assert abs(mb - ma) / ma < 0.05
+
+    def test_masked_warm_init_unbiased(self):
+        """Masked warm init must normalize by observed counts: at heavy
+        missingness the additive-effect init must NOT shrink toward zero
+        by the missing fraction (the old zero-fill /(n-1) bias)."""
+        from tame.models import random_dyad_mask
+
+        model, Y, _ = self._setup(n=30, T=6, r=2, seed=9)
+        n = 30
+        mask = random_dyad_mask(jax.random.PRNGKey(3), n, 6, 0.5)
+        dense = cavi.warm_init_state(Y, model.params, structure="full")
+        masked = cavi.warm_init_state(Y, model.params, structure="full",
+                                      obs_mask=mask)
+        a_dense = np.asarray(dense.X_mean[:, 0, 0])
+        a_masked = np.asarray(masked.X_mean[:, 0, 0])
+        # The masked estimate is a noisier version of the dense one, NOT
+        # a ~0.5x-shrunk one: the regression slope through the origin
+        # must be near 1, far from the 0.5 the biased init produced.
+        slope = float(a_dense @ a_masked / (a_dense @ a_dense))
+        assert 0.8 < slope < 1.2, slope
+        # NaN-coded missing entries are never read
+        Ynan = jnp.where(mask[..., None] > 0, Y, jnp.nan)
+        masked_nan = cavi.warm_init_state(Ynan, model.params,
+                                          structure="full", obs_mask=mask)
+        assert np.array_equal(np.asarray(masked.X_mean),
+                              np.asarray(masked_nan.X_mean))
 
 
 class TestForecastUncertainty:
@@ -1077,6 +1238,7 @@ class TestNaNCodedMissing:
     matching mask the fits must be identical to zero-coded missing (the
     mask gates reads with jnp.where, never multiplication)."""
 
+    @pytest.mark.slow
     def test_nan_coded_cavi(self):
         from tame.models import random_dyad_mask
 
@@ -1095,6 +1257,7 @@ class TestNaNCodedMissing:
         assert np.isfinite(np.asarray(b.elbo_history)[:25]).all()
         assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
 
+    @pytest.mark.slow
     def test_nan_coded_smoothed_and_em(self):
         from tame.config import ModelConfig
         from tame.inference import fit_em
