@@ -17,6 +17,7 @@ from tame.inference import em_update_params, fit_em
 from tame.models import build_params, sample
 
 
+@pytest.mark.slow
 class TestEMRecovery:
     @pytest.fixture(scope="class")
     def em_run(self):
@@ -99,6 +100,7 @@ class TestResidualMomentCorrections:
 
 
 class TestMaskedEM:
+    @pytest.mark.slow
     def test_masked_em_recovers_noise(self):
         """EM on 70% of dyads still recovers the observation noise."""
         from tame.models import random_dyad_mask

@@ -74,6 +74,7 @@ class TestHarnessUtils:
         assert "a" in out
 
 
+@pytest.mark.slow
 @pytest.mark.integration
 class TestExperimentsEndToEnd:
     def test_three_way_comparison_small(self, tmp_path, monkeypatch,
@@ -191,6 +192,7 @@ class TestCLI:
                    "--checkpoint", str(tmp_path / "ck"), "--resume"])
         assert rc == 0
 
+    @pytest.mark.slow
     def test_sample_subcommand(self, capsys):
         from tame.cli import main
 
@@ -208,6 +210,7 @@ class TestCLI:
             main(["bogus"])
 
 
+@pytest.mark.slow
 def test_sensitivity_missing_frac_sweep(tmp_path, monkeypatch):
     """The missing-data sweep axis: MSE degrades gracefully as dyads are
     hidden (each replicate gets its own random mask)."""

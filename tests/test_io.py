@@ -324,6 +324,7 @@ class TestEdgelist:
         with pytest.raises(ValueError, match="self-loops"):
             edgelist_to_tensors(["a"], ["a"], [0], [1.0])
 
+    @pytest.mark.slow
     def test_masked_fit_from_edgelist(self):
         """End-to-end: records -> tensors -> masked fit converges."""
         from tame.inference import cavi

@@ -107,6 +107,7 @@ class TestLogProb:
 
 
 class TestHMC:
+    @pytest.mark.slow
     def test_chain_runs_and_mixes(self, tiny):
         model, Y, X = tiny
         hmc = TemporalAMEHMC(model, num_chains=2, num_leapfrog=8, seed=1)
@@ -250,6 +251,7 @@ class TestNUTS:
         assert np.all(np.isfinite(np.asarray(out.positions)))
         assert float(np.asarray(out.accept_prob).mean()) > 0.4
 
+    @pytest.mark.slow
     def test_nuts_mixes_and_matches_hmc_on_ame(self, tiny):
         """NUTS validated ON THE AME POSTERIOR (not just toy normals):
         chains must mix (split-R-hat < 1.05 on the tiny posterior) and the

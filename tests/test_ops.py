@@ -24,6 +24,7 @@ def _random_spd(key, B, d):
 
 
 class TestCholeskySolve:
+    @pytest.mark.slow
     @pytest.mark.parametrize("d", [4, 6, 10])
     def test_pallas_matches_numpy(self, d):
         key = jax.random.PRNGKey(d)

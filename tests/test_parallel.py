@@ -67,6 +67,7 @@ class TestShardedFit:
         # X_mean should come back sharded over the mesh, not replicated
         assert len(out.X_mean.sharding.device_set) == 8
 
+    @pytest.mark.slow
     def test_smoothed_sharded_matches_single_device(self):
         """The smoothed (joint-trajectory) engine shards over the nodes
         axis: per-node block-tridiagonal solves are node-local, so the
@@ -99,6 +100,7 @@ class TestShardedFit:
                 make_mesh(nodes=2, time=2, devices=jax.devices()[:4]),
                 Y, init)
 
+    @pytest.mark.slow
     def test_batch_axis_vmap_fits(self):
         """Replicate fits sharded over the batch axis (the sensitivity-sweep
         pattern, SURVEY.md §3.5)."""
@@ -124,6 +126,7 @@ class TestShardedFit:
 
 
 @requires_8
+@pytest.mark.slow
 def test_graft_entry_dryrun():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
@@ -185,6 +188,7 @@ class TestShardedChains:
         model.generate_data(return_latents=True)
         return model
 
+    @pytest.mark.slow
     def test_hmc_64_sharded_chains(self, tiny_model):
         from tame.inference import TemporalAMEHMC
         from tame.parallel import make_mesh
@@ -201,6 +205,7 @@ class TestShardedChains:
         assert np.allclose(np.asarray(ref.positions),
                            np.asarray(out.positions), atol=1e-5)
 
+    @pytest.mark.slow
     def test_nuts_sharded_chains(self, tiny_model):
         from tame.inference import TemporalAMENUTS
         from tame.parallel import make_mesh
@@ -220,6 +225,7 @@ class TestShardedChains:
         m_out = np.asarray(out.positions).mean(axis=(0, 1))
         assert np.allclose(m_ref, m_out, atol=0.5)
 
+    @pytest.mark.slow
     def test_smc_sharded_particles(self, tiny_model):
         from tame.inference import TemporalAMESMC
         from tame.parallel import make_mesh
@@ -252,6 +258,7 @@ class TestDistributedHelpers:
         assert mesh.devices.size == len(jax.devices())
 
     @requires_8
+    @pytest.mark.slow
     def test_measure_scaling_efficiency(self):
         from tame.parallel import measure_scaling_efficiency
 
@@ -330,6 +337,7 @@ class TestCommAnalysis:
         assert "collective-permute" not in prof["collectives"]
 
 
+@pytest.mark.slow
 class TestMultiprocessDistributed:
     """REAL multi-process `jax.distributed` path (SURVEY.md §5 distributed
     comm backend): two OS processes, each owning 4 CPU devices of one

@@ -13,6 +13,8 @@ import jax
 import matplotlib.pyplot as plt
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.visualization
 from matplotlib.figure import Figure
 
 from tame.visualization import (
