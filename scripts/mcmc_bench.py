@@ -1,0 +1,180 @@
+"""Production-scale sampler evidence: NUTS at n=128, T=16, r=2, 64 chains.
+
+Runs CAVI-preconditioned NUTS on the real chip at a scale far beyond the
+toy tests (north-star config 4: "64+ sharded chains; validates SMF
+moments within MC error"), and records ONE JSON artifact
+``MCMC_BENCH.json`` with:
+
+* sampling wall clock and ESS/s (per-coordinate effective sample sizes
+  of identified dyad-mean scalars, Vehtari et al. estimator);
+* split-R-hat of those scalars and of the per-draw log density (the
+  single most sensitive statistic);
+* the SMF-vs-NUTS posterior moment gap in dyadic-mean space (the
+  identified quantity), both as an effect size against the posterior sd
+  and as a z-score against the ESS-scaled Monte-Carlo standard error.
+
+Everything heavy is reduced ON DEVICE; the host fetch is K dyad-scalar
+traces + summary tensors (CLAUDE.md: the tunnel makes large fetches both
+slow and noisy).
+
+Usage:  python scripts/mcmc_bench.py [--n 128 --T 16 --r 2 --chains 64]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=128)
+    ap.add_argument("--T", type=int, default=16)
+    ap.add_argument("--r", type=int, default=2)
+    ap.add_argument("--chains", type=int, default=64)
+    ap.add_argument("--warmup", type=int, default=300)
+    ap.add_argument("--samples", type=int, default=300)
+    ap.add_argument("--max-depth", type=int, default=7)
+    ap.add_argument("--k-scalars", type=int, default=64,
+                    help="number of dyad-mean coordinates tracked for "
+                         "R-hat/ESS")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", default="MCMC_BENCH.json")
+    args = ap.parse_args(argv)
+
+    from tame.config import ModelConfig
+    from tame.inference import cavi
+    from tame.inference.hmc import precondition_from_cavi
+    from tame.inference.logprob import log_joint, precompute
+    from tame.inference.nuts import run_nuts
+    from tame.models import build_params, sample
+    from tame.ops import dyad as dyad_ops
+    from tame.utils.diagnostics import effective_sample_size, split_rhat
+
+    n, T, r, C = args.n, args.T, args.r, args.chains
+    cfg = ModelConfig(n_nodes=n, n_time=T, latent_dim=r, seed=args.seed)
+    params = build_params(cfg)
+    key = jax.random.PRNGKey(args.seed)
+    Y, _ = sample(params, key, n, T)
+    jax.block_until_ready(Y)
+    print(f"data ready: n={n} T={T} r={r} d={cfg.d} "
+          f"({n * T * cfg.d} latent dims/chain, {C} chains)", flush=True)
+
+    # -- SMF reference fit (Good SMF, production path) ---------------------
+    init = cavi.init_state(jax.random.fold_in(key, 1), n, T, cfg.d,
+                           "full", 0.1, 0.5)
+    fit = cavi.fit_cavi(Y, params, init, structure="full",
+                        update_mode="block", max_iter=512,
+                        learning_rate=0.8, tolerance=1e-5)
+    fit = jax.block_until_ready(fit)
+    print(f"SMF fit: {int(fit.n_iter)} iters, converged="
+          f"{bool(fit.converged)}", flush=True)
+
+    # -- CAVI preconditioning + chain inits --------------------------------
+    center, inv_mass = precondition_from_cavi(Y, params, seed=args.seed)
+    k_init, k_chains = jax.random.split(jax.random.fold_in(key, 2))
+    inits = center[None] + 0.01 * jax.random.normal(
+        k_init, (C,) + center.shape)
+    keys = jax.random.split(k_chains, C)
+
+    consts = precompute(params)
+    ld = lambda x, Yo: log_joint(params, Yo, x, consts)  # noqa: E731
+
+    # identified scalar tracking: K random off-diagonal (i, j, t) coords
+    rng = np.random.default_rng(args.seed)
+    ii = rng.integers(0, n, size=4 * args.k_scalars)
+    jj = rng.integers(0, n, size=4 * args.k_scalars)
+    ok = ii != jj
+    ii, jj = ii[ok][:args.k_scalars], jj[ok][:args.k_scalars]
+    tt = rng.integers(0, T, size=len(ii))
+    ii, jj, tt = (jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(tt))
+
+    @jax.jit
+    def postprocess(positions):
+        """(C, S, n, T, d) -> (C, S, K) identified dyad-mean traces."""
+        def per_sample(X):
+            a, b, U, V = dyad_ops.split_state(X, r)
+            # mu_ij = a_i + b_j + U_i . V_j at the tracked coordinates
+            return (a[ii, tt] + b[jj, tt]
+                    + jnp.sum(U[ii, tt] * V[jj, tt], axis=-1))
+        return jax.vmap(jax.vmap(per_sample))(positions)
+
+    run = lambda p, k: run_nuts(  # noqa: E731
+        ld, p, k, num_warmup=args.warmup, num_samples=args.samples,
+        max_depth=args.max_depth, inv_mass=inv_mass,
+        logdensity_args=(Y,))
+
+    print("compiling + warmup ...", flush=True)
+    t0 = time.perf_counter()
+    out = jax.vmap(run)(inits, keys)
+    np.asarray(postprocess(out.positions)[:, -1])  # host-fetch barrier
+    wall = time.perf_counter() - t0
+    print(f"total wall (compile + warmup + sample): {wall:.1f}s", flush=True)
+
+    # timed second run with fresh keys: steady-state sampling throughput
+    keys2 = jax.random.split(jax.random.fold_in(key, 3), C)
+    t0 = time.perf_counter()
+    out2 = jax.vmap(run)(inits, keys2)
+    scal2 = postprocess(out2.positions)
+    scal2_h = np.asarray(scal2)
+    logp2_h = np.asarray(out2.logdensities)
+    wall2 = time.perf_counter() - t0
+
+    # -- diagnostics (host) ------------------------------------------------
+    ess = np.asarray(effective_sample_size(jnp.asarray(scal2_h)))
+    rhat = np.asarray(split_rhat(jnp.asarray(scal2_h)))
+    rhat_logp = float(np.asarray(split_rhat(jnp.asarray(logp2_h))))
+    # the warmup fraction of wall2 still amortizes; report both rates
+    ess_per_s_total = ess / wall2
+
+    # -- SMF vs NUTS moment gap in identified (dyad-mean) space ------------
+    mu_vi = np.asarray(
+        dyad_ops.dyadic_fwd_temporal(fit.X_mean, r)[ii, jj, tt])
+    mu_nuts = scal2_h.reshape(-1, scal2_h.shape[-1]).mean(0)
+    sd_nuts = scal2_h.reshape(-1, scal2_h.shape[-1]).std(0)
+    mcse = sd_nuts / np.sqrt(np.maximum(ess, 1.0))
+    gap = mu_vi - mu_nuts
+    effect = np.abs(gap) / np.maximum(sd_nuts, 1e-8)
+    z = np.abs(gap) / np.maximum(mcse, 1e-12)
+
+    result = {
+        "config": {"n": n, "T": T, "r": r, "d": cfg.d,
+                   "chains": C, "warmup": args.warmup,
+                   "samples": args.samples, "max_depth": args.max_depth,
+                   "k_scalars": int(len(ii)), "seed": args.seed,
+                   "backend": jax.default_backend()},
+        "wall_s_cold": round(wall, 1),
+        "wall_s_warm": round(wall2, 1),
+        "accept_mean": float(np.asarray(out2.accept_prob).mean()),
+        "total_draws": int(C * args.samples),
+        "split_rhat_max": float(rhat.max()),
+        "split_rhat_median": float(np.median(rhat)),
+        "logdensity_rhat": rhat_logp,
+        "ess_min": float(ess.min()),
+        "ess_median": float(np.median(ess)),
+        "ess_per_s_min": float(ess_per_s_total.min()),
+        "ess_per_s_median": float(np.median(ess_per_s_total)),
+        "smf_gap_rms": float(np.sqrt((gap ** 2).mean())),
+        "smf_gap_max_abs": float(np.abs(gap).max()),
+        "smf_effect_size_median": float(np.median(effect)),
+        "smf_effect_size_max": float(effect.max()),
+        "smf_z_median": float(np.median(z)),
+        "posterior_sd_median": float(np.median(sd_nuts)),
+    }
+    Path(args.out).write_text(json.dumps(result, indent=1))
+    print(json.dumps(result, indent=1))
+    ok = result["split_rhat_max"] < 1.05 and rhat_logp < 1.1
+    print("MIXING OK" if ok else "MIXING MARGINAL — inspect R-hats",
+          flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -175,32 +175,77 @@ def _residual_moment_corrections(state: SmoothedState,
     return var_sum, cross_sum
 
 
+def _phi_groups(phi_structure: str, d: int):
+    """Dimension groups sharing one AR rate.  ``"scalar"`` is the
+    reference's ``Phi = phi I`` parity form (``temporal_ame.py:131-132``);
+    ``"blocks"`` gives the additive effects [a, b] and the latent
+    positions [U, V] separate rates; ``"diag"`` one rate per state
+    dimension."""
+    if phi_structure == "scalar":
+        return [list(range(d))]
+    if phi_structure == "blocks":
+        return [[0, 1], list(range(2, d))]
+    if phi_structure == "diag":
+        return [[k] for k in range(d)]
+    raise ValueError(f"unknown phi_structure {phi_structure!r}; choose "
+                     "from 'scalar', 'blocks', 'diag'")
+
+
 def em_update_params(params: AMEParams, Y: Array, state: SmoothedState,
                      *, learn: Sequence[str] = LEARNABLE,
-                     mask: Optional[Array] = None) -> AMEParams:
+                     mask: Optional[Array] = None,
+                     phi_structure: str = "scalar",
+                     r_structure: str = "exchangeable") -> AMEParams:
     """One closed-form M-step; returns updated :class:`AMEParams`.
 
     Fields not in ``learn`` keep their current values.  ``Sigma``/``Psi``
     report the corresponding blocks of the learned ``Sigma0``.
+
+    ``phi_structure`` generalizes the AR map beyond the reference's
+    ``Phi = phi I``: with dimension groups sharing one rate (see
+    :func:`_phi_groups`), the expected transition log-likelihood is
+    quadratic in the group rates and its maximizer solves the
+    ``g x g`` linear system
+
+        sum_h phi_h sum_{k in g, l in h} Q^-1[k,l] B[l,k]
+            = sum_{k in g} (Q^-1 A)[k,k]
+
+    (reduces to ``tr(Q^-1 A)/tr(Q^-1 B)`` for one group) — still fully
+    closed-form.
+
+    ``r_structure``: ``"exchangeable"`` learns the (sigma^2, rho) dyadic
+    covariance; ``"diag"`` pins the reciprocity correlation at zero and
+    learns the variance only.  A fully NON-exchangeable 2x2 R (unequal
+    diagonal variances) is structurally excluded for this model: dyads
+    are unordered node pairs, so relabeling nodes swaps the two
+    components — any R that distinguishes them would make the likelihood
+    depend on arbitrary node ordering.
     """
     unknown = set(learn) - set(LEARNABLE)
     if unknown:
         raise ValueError(f"unknown learnable(s) {sorted(unknown)}; "
                          f"choose from {LEARNABLE}")
+    if r_structure not in ("exchangeable", "diag"):
+        raise ValueError(f"unknown r_structure {r_structure!r}; choose "
+                         "from 'exchangeable', 'diag'")
     n, T, d = state.X_mean.shape
     A, B, Sxx, S00 = _transition_moments(state)
 
     Phi, Q, Sigma0 = params.Phi, params.Q, params.Sigma0
     if "phi" in learn and T > 1:
-        # Scalar-constrained maximizer UNDER THE CURRENT Q (coordinate
-        # ascent: phi given Q, then Q given phi):
-        #   phi = tr(Q^-1 A) / tr(Q^-1 B)
-        # which reduces to tr(A)/tr(B) only for isotropic Q — Q is
-        # learned as full SPD here, so the weighting matters.
+        # Group-constrained maximizer UNDER THE CURRENT Q (coordinate
+        # ascent: phi given Q, then Q given phi).  The Q^-1 weighting
+        # matters — Q is learned as full SPD here.
+        groups = _phi_groups(phi_structure, d)
         Q_inv = jnp.linalg.inv(Q)
-        phi = (jnp.trace(Q_inv @ A)
-               / jnp.maximum(jnp.trace(Q_inv @ B), 1e-12))
-        Phi = jnp.eye(d, dtype=A.dtype) * phi
+        Z = jnp.zeros((d, len(groups)), A.dtype)
+        for g, dims in enumerate(groups):
+            Z = Z.at[jnp.asarray(dims), g].set(1.0)
+        M = Q_inv * B.T                       # M[k,l] = Q^-1[k,l] B[l,k]
+        G = Z.T @ M @ Z + 1e-12 * jnp.eye(len(groups), dtype=A.dtype)
+        c = Z.T @ jnp.diagonal(Q_inv @ A)
+        phi_vec = jnp.linalg.solve(G, c)
+        Phi = jnp.diag(Z @ phi_vec)
     if "Q" in learn and T > 1:
         Qn = (Sxx - Phi @ A.T - A @ Phi.T + Phi @ B @ Phi.T) \
             / (n * (T - 1))
@@ -215,8 +260,11 @@ def em_update_params(params: AMEParams, Y: Array, state: SmoothedState,
                  dyad_ops.offdiag_mask(n)[:, :, None], (n, n, T)))
         var_corr, cross_corr = _residual_moment_corrections(state, m)
         sigma2 = jnp.maximum((sq + var_corr) / count, 1e-8)
-        rho = jnp.clip((cross + cross_corr) / count / sigma2,
-                       -0.99, 0.99)
+        if r_structure == "diag":
+            rho = jnp.asarray(0.0, Y.dtype)
+        else:
+            rho = jnp.clip((cross + cross_corr) / count / sigma2,
+                           -0.99, 0.99)
         off = rho * sigma2
         R = jnp.array([[sigma2, off], [off, sigma2]], dtype=Y.dtype)
         R_inv = jnp.linalg.inv(R)
@@ -230,6 +278,8 @@ def fit_em(Y: Array, params0: AMEParams, *,
            inner_tolerance: float = 1e-6,
            learning_rate: float = 0.5,
            learn: Sequence[str] = LEARNABLE,
+           phi_structure: str = "scalar",
+           r_structure: str = "exchangeable",
            mask: Optional[Array] = None,
            init: Optional[SmoothedState] = None,
            init_mode: str = "warm",
@@ -251,8 +301,16 @@ def fit_em(Y: Array, params0: AMEParams, *,
     iteration retried (up to 3 times) — a partial-E-step EM is only
     monotone when the inner solver actually improves its objective.
 
+    ``phi_structure``/``r_structure`` select the M-step parameterization
+    (see :func:`em_update_params`): ``phi_structure="blocks"`` learns
+    separate AR rates for the additive effects and the latent positions
+    (the real-data case the reference's Phi = phi I cannot express);
+    ``"diag"`` one rate per dimension.
+
     Returns :class:`EMResult`; ``history`` tracks ``elbo`` (final inner
-    ELBO per EM iteration) and the learned scalars per iteration.
+    ELBO per EM iteration) and the learned scalars per iteration (for
+    non-scalar ``phi_structure``, ``phi`` is the additive rate and
+    ``phi_mult`` the last latent dimension's rate).
     """
     n, _, T, _ = Y.shape
     d = params0.d
@@ -277,17 +335,22 @@ def fit_em(Y: Array, params0: AMEParams, *,
                                     0.1)
 
     def scalars(p: AMEParams) -> Dict[str, float]:
-        return {
+        out = {
             "phi": float(p.Phi[0, 0]),
             "trQ": float(jnp.trace(p.Q)),
             "trSigma0": float(jnp.trace(p.Sigma0)),
             "sigma2": float(p.R[0, 0]),
             "rho": float(p.R[0, 1] / p.R[0, 0]),
         }
+        if phi_structure != "scalar":
+            out["phi_mult"] = float(p.Phi[-1, -1])
+        return out
 
     history: Dict[str, List[float]] = {
         "elbo": [], "phi": [], "trQ": [], "trSigma0": [], "sigma2": [],
         "rho": []}
+    if phi_structure != "scalar":
+        history["phi_mult"] = []
     prev = scalars(params)
     prev_elbo = -np.inf
     for k in range(n_em):
@@ -329,7 +392,9 @@ def fit_em(Y: Array, params0: AMEParams, *,
         prev_elbo = e
         state = out.state
         params = em_update_params(params, Y, state, learn=learn,
-                                  mask=mask)
+                                  mask=mask,
+                                  phi_structure=phi_structure,
+                                  r_structure=r_structure)
         cur = scalars(params)
         elbo = float(np.asarray(out.elbo_history)[int(out.n_iter) - 1])
         history["elbo"].append(elbo)

@@ -117,3 +117,92 @@ class TestMaskedEM:
         assert abs(h["sigma2"][-1] - 0.1) / 0.1 < 0.3
         assert abs(h["phi"][-1] - 0.8) < 0.12
         assert np.isfinite(h["elbo"]).all()
+
+
+@pytest.mark.slow
+class TestGeneralizedPhi:
+    """EM beyond the parity parameterization: dimension-grouped AR rates
+    (phi_structure='blocks'/'diag') with closed-form M-steps, and the
+    reciprocity-free R variant.  The reference fixes all hyperparameters
+    (src/inference/base.py:84-125) and its model only expresses
+    Phi = phi I (temporal_ame.py:131-132)."""
+
+    def test_recovers_two_rate_phi(self):
+        from tame.config import ModelConfig
+        from tame.models import build_params, sample
+
+        cfg = ModelConfig(n_nodes=32, n_time=12, latent_dim=1, seed=0)
+        p = build_params(cfg)
+        # truth: additive effects persist (0.9), positions mix fast (0.4)
+        phis = jnp.asarray([0.9, 0.9, 0.4, 0.4])
+        Qbase = p.Q / (1 - 0.8 ** 2)
+        s = jnp.diag(jnp.sqrt(1 - phis ** 2))
+        Q = s @ Qbase @ s
+        pt = p._replace(Phi=jnp.diag(phis), Q=0.5 * (Q + Q.T))
+        Y, _ = sample(pt, jax.random.PRNGKey(0), 32, 12)
+
+        cfg0 = ModelConfig(n_nodes=32, n_time=12, latent_dim=1,
+                           ar_coefficient=0.6, seed=0)
+        res = fit_em(Y, build_params(cfg0), n_em=8,
+                     phi_structure="blocks")
+        h = res.history
+        assert abs(h["phi"][-1] - 0.9) < 0.1, h["phi"][-1]
+        assert abs(h["phi_mult"][-1] - 0.4) < 0.15, h["phi_mult"][-1]
+        # the two learned rates are genuinely distinct
+        assert h["phi"][-1] - h["phi_mult"][-1] > 0.3
+
+    def test_scalar_structure_matches_legacy(self):
+        """phi_structure='scalar' (one group) must reduce to the original
+        tr(Q^-1 A)/tr(Q^-1 B) maximizer."""
+        from tame.config import ModelConfig
+        from tame.inference.em import em_update_params
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed,
+            warm_init_smoothed_state,
+        )
+        from tame.models import build_params, sample
+
+        cfg = ModelConfig(n_nodes=12, n_time=6, latent_dim=1, seed=1)
+        p = build_params(cfg)
+        Y, _ = sample(p, jax.random.PRNGKey(1), 12, 6)
+        st = warm_init_smoothed_state(Y, p)
+        out = fit_cavi_smoothed(Y, p, st, max_iter=30, tolerance=0.0)
+        upd = em_update_params(p, Y, out.state,
+                               phi_structure="scalar")
+        # closed form computed directly
+        from tame.inference.em import _transition_moments
+        A, B, _, _ = _transition_moments(out.state)
+        Q_inv = jnp.linalg.inv(p.Q)
+        phi_direct = float(jnp.trace(Q_inv @ A) / jnp.trace(Q_inv @ B))
+        assert abs(float(upd.Phi[0, 0]) - phi_direct) < 1e-5
+        # Phi stays a multiple of I
+        off = np.asarray(upd.Phi - jnp.diag(jnp.diagonal(upd.Phi)))
+        assert np.allclose(off, 0.0)
+        assert np.allclose(np.diagonal(np.asarray(upd.Phi)),
+                           float(upd.Phi[0, 0]))
+
+    def test_diag_r_structure(self):
+        """r_structure='diag' pins the reciprocity correlation at zero
+        while still learning the variance."""
+        from tame.config import ModelConfig
+        from tame.inference.em import em_update_params
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed,
+            warm_init_smoothed_state,
+        )
+        from tame.models import build_params, sample
+
+        cfg = ModelConfig(n_nodes=12, n_time=6, latent_dim=1, seed=2)
+        p = build_params(cfg)
+        Y, _ = sample(p, jax.random.PRNGKey(2), 12, 6)
+        st = warm_init_smoothed_state(Y, p)
+        out = fit_cavi_smoothed(Y, p, st, max_iter=30, tolerance=0.0)
+        upd = em_update_params(p, Y, out.state, r_structure="diag")
+        assert float(upd.R[0, 1]) == 0.0
+        assert float(upd.R[0, 0]) > 0.0
+
+    def test_unknown_structures_raise(self):
+        from tame.inference.em import _phi_groups, em_update_params
+
+        with pytest.raises(ValueError, match="phi_structure"):
+            _phi_groups("banana", 4)

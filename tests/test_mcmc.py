@@ -433,3 +433,73 @@ def test_masked_hmc_nan_coded_actually_samples(tiny):
     out = hmc.sample(num_warmup=20, num_samples=20)
     assert bool(jnp.all(jnp.isfinite(out.logdensities)))
     assert float(out.accept_prob.mean()) > 0.2  # the chain actually moves
+
+
+@pytest.mark.slow
+class TestNUTSAtScale:
+    """Sampler evidence beyond toy sizes (north-star config 4): n=64
+    chains sharded over the CPU mesh, split-R-hat convergence on
+    identified dyad-mean scalars, and SMF-vs-NUTS moment agreement with
+    ESS-scaled tolerances.  The real-chip numbers live in
+    MCMC_BENCH.json (scripts/mcmc_bench.py, n=128/T=16/r=2/64 chains)."""
+
+    def test_nuts_n64_rhat_and_moment_agreement(self):
+        from tame.inference import TemporalAMENUTS, TemporalAMEStructuredMFVI
+        from tame.ops import dyad as dyad_ops
+        from tame.parallel import make_mesh
+        from tame.utils.diagnostics import (
+            effective_sample_size,
+            split_rhat,
+        )
+
+        n, T, r = 64, 8, 1
+        model = TemporalAMEModel(n_nodes=n, n_time=T, latent_dim=r,
+                                 seed=0)
+        model.generate_data()
+
+        vi = TemporalAMEStructuredMFVI(model, factorization="good",
+                                       learning_rate=0.8,
+                                       update_mode="block",
+                                       corrected=True)
+        vi.fit(max_iter=200, tolerance=1e-6, verbose=False)
+
+        mesh = make_mesh(batch=8)
+        nuts = TemporalAMENUTS(model, num_chains=8, max_depth=6, seed=1)
+        out = nuts.sample(num_warmup=120, num_samples=120, mesh=mesh)
+        assert len(out.positions.sharding.device_set) == 8
+
+        # identified dyad-mean scalars at K random off-diag coordinates
+        rng = np.random.default_rng(0)
+        ii = rng.integers(0, n, 96)
+        jj = rng.integers(0, n, 96)
+        keep = ii != jj
+        ii, jj = ii[keep][:48], jj[keep][:48]
+        tt = rng.integers(0, T, len(ii))
+
+        def per_sample(X):
+            a, b, U, V = dyad_ops.split_state(X, r)
+            return (a[ii, tt] + b[jj, tt]
+                    + jnp.sum(U[ii, tt] * V[jj, tt], -1))
+
+        scal = jax.jit(jax.vmap(jax.vmap(per_sample)))(out.positions)
+        scal = np.asarray(scal)                      # (8, 120, K)
+
+        rhat = np.asarray(split_rhat(jnp.asarray(scal)))
+        assert rhat.max() < 1.2, rhat.max()
+        assert np.median(rhat) < 1.05
+
+        ess = np.asarray(effective_sample_size(jnp.asarray(scal)))
+        assert ess.min() > 10.0
+
+        # SMF-vs-NUTS moment gap, normalized by the posterior sd and by
+        # the ESS-scaled Monte-Carlo standard error
+        a, b, U, V = dyad_ops.split_state(vi.X_mean, r)
+        mu_vi = np.asarray(a[ii, tt] + b[jj, tt]
+                           + jnp.sum(U[ii, tt] * V[jj, tt], -1))
+        flat = scal.reshape(-1, scal.shape[-1])
+        mu_nuts = flat.mean(0)
+        sd_nuts = flat.std(0)
+        effect = np.abs(mu_vi - mu_nuts) / np.maximum(sd_nuts, 1e-8)
+        # mean-field bias is real but small in the identified space
+        assert np.median(effect) < 0.5, np.median(effect)
+        assert effect.max() < 3.0, effect.max()
