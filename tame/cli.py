@@ -170,16 +170,30 @@ def _cmd_sample(args) -> int:
 
     model = _build_model(args)
     model.generate_data()
+    family = getattr(args, "family", "gaussian")
+    if family != "gaussian":
+        # Regenerate observations from the declared dyadic family
+        # through the same latent states (tame.models.likelihoods).
+        import jax
+
+        from tame.models import sample_observations
+
+        model.Y = np.asarray(sample_observations(
+            model.params, jax.random.PRNGKey(args.seed + 7),
+            model.X, family=family))
+        print(f"Observations regenerated with family='{family}'.")
     if args.sampler == "smc":
         smc = TemporalAMESMC(model, num_particles=args.num_particles,
-                             num_stages=args.num_stages, seed=args.seed)
+                             num_stages=args.num_stages, seed=args.seed,
+                             family=family)
         result = smc.sample()
         print(f"SMC: {args.num_particles} particles, "
               f"log-evidence = {float(result.log_evidence):.2f}, "
               f"final ESS = {float(np.asarray(result.ess_history)[-1]):.1f}")
     else:
         cls = TemporalAMENUTS if args.sampler == "nuts" else TemporalAMEHMC
-        sampler = cls(model, num_chains=args.num_chains, seed=args.seed)
+        sampler = cls(model, num_chains=args.num_chains, seed=args.seed,
+                      family=family)
         out = sampler.sample(num_warmup=args.num_warmup,
                              num_samples=args.num_samples)
         print(f"{args.sampler.upper()}: {args.num_chains} chains x "
@@ -309,6 +323,12 @@ def build_parser() -> argparse.ArgumentParser:
     _add_model_flags(p)
     p.add_argument("--sampler", choices=["hmc", "nuts", "smc"],
                    default="nuts")
+    p.add_argument("--family",
+                   choices=["gaussian", "poisson", "bernoulli"],
+                   default="gaussian",
+                   help="dyadic observation family (non-Gaussian "
+                        "families regenerate Y from the latents and "
+                        "sample the matching posterior)")
     p.add_argument("--num-chains", type=int, default=4)
     p.add_argument("--num-warmup", type=int, default=200)
     p.add_argument("--num-samples", type=int, default=200)

@@ -40,6 +40,12 @@ interpreted Python.
 Like the reference, the natural parameter omits the other-node offsets from
 ``y`` (acknowledged simplification at ``naive_mf.py:372-373``); this defines
 the reference's fixed point and is reproduced for parity.
+
+This engine is GAUSSIAN-ONLY by construction: the closed-form coordinate
+updates above ARE the Gaussian conjugacy.  Other dyadic observation
+families (``tame.models.likelihoods``: Poisson counts, Bernoulli ties)
+go through the sampler backends (HMC/NUTS/SMC via
+``make_logdensity_fn(family=...)``).
 """
 
 from __future__ import annotations

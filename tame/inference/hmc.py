@@ -213,7 +213,7 @@ class TemporalAMEHMC:
 
     def __init__(self, model, num_chains: int = 4, num_leapfrog: int = 16,
                  seed: int = 0, precondition: bool = True,
-                 mask=None):
+                 mask=None, family=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -222,6 +222,17 @@ class TemporalAMEHMC:
         self.num_chains = num_chains
         self.num_leapfrog = num_leapfrog
         self.seed = seed
+        # Declared dyadic likelihood family (tame.models.likelihoods).
+        # Non-Gaussian families skip CAVI preconditioning (the warm fit
+        # is the GAUSSIAN conjugate update; its covariances are not a
+        # meaningful mass matrix for counts/binary ties).
+        if family is not None:
+            from tame.models.likelihoods import get_family
+
+            family = get_family(family)
+            if family.name != "gaussian":
+                precondition = False
+        self.family = family
         self.precondition = precondition
 
         from tame.inference.logprob import log_joint, make_logdensity_fn
@@ -232,22 +243,24 @@ class TemporalAMEHMC:
         # masked CAVI engines' surface.
         self.mask = None if mask is None else jnp.asarray(mask)
         self._logdensity = make_logdensity_fn(model.params, self.Y,
-                                              obs_mask=self.mask)
+                                              obs_mask=self.mask,
+                                              family=self.family)
         # Pure variant + data operands for the jitted samplers: Y (and
         # the mask) must travel as ARGUMENTS, not closure constants —
         # closures are baked into the compile RPC (CLAUDE.md ~100MB cap).
         consts = precompute(model.params)
         params = model.params
+        fam = self.family
         if self.mask is None:
             self._pure_logdensity = (
-                lambda x, Y: log_joint(params, Y, x, consts))
+                lambda x, Y: log_joint(params, Y, x, consts, family=fam))
             self._ld_args = (self.Y,)
         else:
             m = self.mask * (1.0 - jnp.eye(self.Y.shape[0],
                                            dtype=self.Y.dtype)[:, :, None])
             self._pure_logdensity = (
                 lambda x, Y, om: log_joint(params, Y, x, consts,
-                                           obs_mask=om))
+                                           obs_mask=om, family=fam))
             self._ld_args = (self.Y, m)
 
     def sample(self, num_warmup: int = 200, num_samples: int = 200,

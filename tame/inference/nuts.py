@@ -307,7 +307,7 @@ class TemporalAMENUTS:
 
     def __init__(self, model, num_chains: int = 4, max_depth: int = 8,
                  seed: int = 0, precondition: bool = True,
-                 mask=None):
+                 mask=None, family=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -316,6 +316,17 @@ class TemporalAMENUTS:
         self.num_chains = num_chains
         self.max_depth = max_depth
         self.seed = seed
+        # Declared dyadic likelihood family (tame.models.likelihoods).
+        # Non-Gaussian families skip CAVI preconditioning (the warm fit
+        # is the GAUSSIAN conjugate update; its covariances are not a
+        # meaningful mass matrix for counts/binary ties).
+        if family is not None:
+            from tame.models.likelihoods import get_family
+
+            family = get_family(family)
+            if family.name != "gaussian":
+                precondition = False
+        self.family = family
         self.precondition = precondition
 
         from tame.inference.logprob import log_joint, make_logdensity_fn
@@ -326,20 +337,22 @@ class TemporalAMENUTS:
         # masked CAVI engines' surface.
         self.mask = None if mask is None else jnp.asarray(mask)
         self._logdensity = make_logdensity_fn(model.params, self.Y,
-                                              obs_mask=self.mask)
+                                              obs_mask=self.mask,
+                                              family=self.family)
         # Pure variant + data operands (see TemporalAMEHMC.__init__).
         consts = precompute(model.params)
         params = model.params
+        fam = self.family
         if self.mask is None:
             self._pure_logdensity = (
-                lambda x, Y: log_joint(params, Y, x, consts))
+                lambda x, Y: log_joint(params, Y, x, consts, family=fam))
             self._ld_args = (self.Y,)
         else:
             m = self.mask * (1.0 - jnp.eye(self.Y.shape[0],
                                            dtype=self.Y.dtype)[:, :, None])
             self._pure_logdensity = (
                 lambda x, Y, om: log_joint(params, Y, x, consts,
-                                           obs_mask=om))
+                                           obs_mask=om, family=fam))
             self._ld_args = (self.Y, m)
 
     def sample(self, num_warmup: int = 200, num_samples: int = 200,

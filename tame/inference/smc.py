@@ -54,13 +54,14 @@ def effective_sample_size(log_weights: Array) -> Array:
 
 
 @functools.partial(jax.jit, static_argnames=("num_particles", "num_stages",
-                                             "num_moves"))
+                                             "num_moves", "family"))
 def run_smc(params: AMEParams, Y: Array, key: Array, *,
             num_particles: int = 256, num_stages: int = 20,
             num_moves: int = 3, step_scale: float = 0.15,
             ess_threshold: float = 0.5,
             proposal_scale: Optional[Array] = None,
-            obs_mask: Optional[Array] = None) -> SMCResult:
+            obs_mask: Optional[Array] = None,
+            family=None) -> SMCResult:
     """Run tempered SMC; see module docstring.
 
     ``proposal_scale``: per-coordinate random-walk scale (n, T, d); defaults
@@ -82,7 +83,8 @@ def run_smc(params: AMEParams, Y: Array, key: Array, *,
     )(jax.random.split(k_init, num_particles))               # (N, n, T, d)
 
     loglik = jax.vmap(
-        lambda X: log_likelihood(params, Y, X, consts, obs_mask=obs_mask))
+        lambda X: log_likelihood(params, Y, X, consts, obs_mask=obs_mask,
+                                 family=family))
     logpri = jax.vmap(lambda X: log_prior(params, X, consts))
 
     betas = jnp.linspace(0.0, 1.0, num_stages + 1)
@@ -90,7 +92,8 @@ def run_smc(params: AMEParams, Y: Array, key: Array, *,
     def tempered_logp(X, beta):
         return (log_prior(params, X, consts)
                 + beta * log_likelihood(params, Y, X, consts,
-                                        obs_mask=obs_mask))
+                                        obs_mask=obs_mask,
+                                        family=family))
 
     def mh_move(key, X, beta):
         """One random-walk MH step on a single particle."""
@@ -155,7 +158,7 @@ class TemporalAMESMC:
 
     def __init__(self, model, num_particles: int = 256,
                  num_stages: int = 20, num_moves: int = 3, seed: int = 0,
-                 precondition: bool = True, mask=None):
+                 precondition: bool = True, mask=None, family=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -165,6 +168,15 @@ class TemporalAMESMC:
         self.num_stages = num_stages
         self.num_moves = num_moves
         self.seed = seed
+        # Declared dyadic likelihood family (tame.models.likelihoods);
+        # non-Gaussian families skip the (Gaussian) CAVI preconditioner.
+        if family is not None:
+            from tame.models.likelihoods import get_family
+
+            family = get_family(family)
+            if family.name != "gaussian":
+                precondition = False
+        self.family = family
         self.precondition = precondition
         # Optional dyad observation mask (missing-data posterior).
         self.mask = None if mask is None else jnp.asarray(mask)
@@ -203,7 +215,8 @@ class TemporalAMESMC:
                 functools.partial(run_smc,
                                   num_particles=self.num_particles,
                                   num_stages=self.num_stages,
-                                  num_moves=self.num_moves),
+                                  num_moves=self.num_moves,
+                                  family=self.family),
                 out_shardings=out_shardings)
             return run(self.model.params, Y, key,
                        proposal_scale=proposal_scale,
@@ -213,7 +226,7 @@ class TemporalAMESMC:
                        num_stages=self.num_stages,
                        num_moves=self.num_moves,
                        proposal_scale=proposal_scale,
-                       obs_mask=self.mask)
+                       obs_mask=self.mask, family=self.family)
 
     def posterior_mean(self, result: SMCResult) -> Array:
         w = jax.nn.softmax(result.log_weights)

@@ -1,6 +1,12 @@
 """AME generative models (static and temporal), TPU-native."""
 
 from tame.models.base import BaseAMEModel
+from tame.models.likelihoods import (
+    BernoulliDyadic,
+    GaussianDyadic,
+    PoissonDyadic,
+    get_family,
+)
 from tame.models.params import AMEParams, build_params
 from tame.models.static_ame import StaticAMEModel, sample_static
 from tame.models.temporal_ame import (
@@ -14,7 +20,11 @@ from tame.models.temporal_ame import (
 __all__ = [
     "AMEParams",
     "BaseAMEModel",
+    "BernoulliDyadic",
+    "GaussianDyadic",
+    "PoissonDyadic",
     "build_params",
+    "get_family",
     "random_dyad_mask",
     "StaticAMEModel",
     "TemporalAMEModel",

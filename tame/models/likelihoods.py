@@ -1,0 +1,148 @@
+"""Declarative dyadic-likelihood families.
+
+The reference hardcodes one observation model — a bivariate Gaussian dyad
+with exchangeable covariance R (``src/models/temporal_ame.py:147-220``,
+``src/inference/naive_mf.py:114-132``) — and so did this framework's
+log-density layer until round 4.  This module is the likelihood-plugin
+seam: a family declares how dyad observations relate to the bilinear
+predictor
+
+    mu_ij^t = a_i + b_j + U_i . V_j,
+
+and the probabilistic-programming surface (``tame.inference.logprob``,
+HMC/NUTS/SMC) accepts any declared family.  The CAVI engines remain
+Gaussian-only — their closed-form coordinate updates ARE the Gaussian
+conjugacy (``tame/inference/cavi.py``); non-Gaussian dyads go through the
+samplers (or a future bound-based VI).
+
+Families ship with:
+
+* ``log_prob(params, Y, mu, mask)`` — summed log-likelihood over
+  unordered observed dyads; ``Y``/``mu`` are the (n, n, T, 2) reciprocal
+  tensors, ``mask`` an (n, n, T) off-diagonal/observation gate.
+  Jit/grad-compatible (drives the samplers).
+* ``sample(key, params, mu)`` — dyad observations given the predictor,
+  in the same reciprocal layout (``Y[i,j,t] = [y_ij, y_ji]``).
+
+``gaussian`` reproduces the framework's existing likelihood exactly
+(including the exchangeable-R quadratic form).  ``poisson`` (log link)
+and ``bernoulli`` (logit link) model counts / binary ties with
+conditionally independent directions — the reciprocity-correlation knob
+is a Gaussian-R concept; for non-Gaussian dyads dependence enters
+through the shared latent states.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from tame.models.params import AMEParams
+from tame.ops.dyad import HIGHEST
+
+_LOG2PI = 1.8378770664093453
+
+
+class GaussianDyadic:
+    """Bivariate Gaussian dyads with exchangeable covariance R — the
+    reference's (and the CAVI engines') observation model."""
+
+    name = "gaussian"
+
+    def log_prob(self, params: AMEParams, Y: Array, mu: Array,
+                 mask: Array) -> Array:
+        resid = Y - mu
+        p, q = params.R_inv[0, 0], params.R_inv[0, 1]
+        e0, e1 = resid[..., 0], resid[..., 1]
+        quad = p * (e0 * e0 + e1 * e1) + 2.0 * q * (e0 * e1)
+        n_dyads = 0.5 * jnp.sum(mask)
+        logdet_R = jnp.linalg.slogdet(params.R)[1]
+        return -0.5 * (0.5 * jnp.sum(quad * mask)
+                       + n_dyads * (logdet_R + 2.0 * _LOG2PI))
+
+    def sample(self, key: Array, params: AMEParams, mu: Array) -> Array:
+        n, _, T, _ = mu.shape
+        chol = jnp.linalg.cholesky(params.R)
+        eps = jnp.einsum("ab,ijtb->ijta",
+                         chol, jax.random.normal(key, mu.shape),
+                         precision=HIGHEST)
+        # reciprocity: draw the upper triangle, mirror the swapped pair
+        Yd = mu + eps
+        iu = jnp.triu(jnp.ones((n, n), bool), 1)[..., None, None]
+        Y = jnp.where(iu, Yd, jnp.swapaxes(Yd[..., ::-1], 0, 1))
+        return Y * (1.0 - jnp.eye(n))[:, :, None, None]
+
+
+class _IndependentDirections:
+    """Base for families whose two dyad directions are conditionally
+    independent given the latent states: the unordered-pair sum is half
+    the off-diagonal sum of per-entry component-0 terms (reciprocity:
+    component 1 of (i, j) is component 0 of (j, i))."""
+
+    def _entry_log_prob(self, y: Array, mu: Array) -> Array:
+        raise NotImplementedError
+
+    def _entry_sample(self, key: Array, mu: Array) -> Array:
+        raise NotImplementedError
+
+    def log_prob(self, params: AMEParams, Y: Array, mu: Array,
+                 mask: Array) -> Array:
+        lp = self._entry_log_prob(Y[..., 0], mu[..., 0])
+        return jnp.sum(lp * mask)
+
+    def sample(self, key: Array, params: AMEParams, mu: Array) -> Array:
+        n = mu.shape[0]
+        Yf = self._entry_sample(key, mu[..., 0]).astype(mu.dtype)
+        Yf = Yf * (1.0 - jnp.eye(n))[:, :, None]
+        return jnp.stack([Yf, jnp.swapaxes(Yf, 0, 1)], axis=-1)
+
+
+class PoissonDyadic(_IndependentDirections):
+    """Count dyads: ``y_ij ~ Poisson(exp(mu_ij))`` (log link)."""
+
+    name = "poisson"
+
+    def _entry_log_prob(self, y, mu):
+        return y * mu - jnp.exp(mu) - jax.lax.lgamma(y + 1.0)
+
+    def _entry_sample(self, key, mu):
+        return jax.random.poisson(key, jnp.exp(mu))
+
+
+class BernoulliDyadic(_IndependentDirections):
+    """Binary ties: ``y_ij ~ Bernoulli(sigmoid(mu_ij))`` (logit link)."""
+
+    name = "bernoulli"
+
+    def _entry_log_prob(self, y, mu):
+        return y * mu - jax.nn.softplus(mu)
+
+    def _entry_sample(self, key, mu):
+        return jax.random.bernoulli(key, jax.nn.sigmoid(mu))
+
+
+_REGISTRY = {
+    "gaussian": GaussianDyadic,
+    "poisson": PoissonDyadic,
+    "bernoulli": BernoulliDyadic,
+}
+
+FamilyLike = Union[str, GaussianDyadic, _IndependentDirections]
+
+
+def get_family(family: FamilyLike):
+    """Resolve a family name or instance.  Custom families are any object
+    with the ``log_prob``/``sample`` surface above."""
+    if isinstance(family, str):
+        try:
+            return _REGISTRY[family]()
+        except KeyError:
+            raise ValueError(
+                f"unknown likelihood family {family!r}; built-ins: "
+                f"{sorted(_REGISTRY)}") from None
+    if hasattr(family, "log_prob"):
+        return family
+    raise TypeError(f"not a likelihood family: {family!r}")

@@ -54,11 +54,15 @@ def sample_latents(params: AMEParams, key: Array, n: int, T: int) -> Array:
     return jnp.swapaxes(X, 0, 1)                               # (n, T, d)
 
 
-def sample_observations(params: AMEParams, key: Array, X: Array) -> Array:
+def sample_observations(params: AMEParams, key: Array, X: Array,
+                        family=None) -> Array:
     """Sample the dyadic observation tensor given latents.
 
-    One batched normal draw for every ordered (i, j, t) dyad slot, correlated
-    through chol(R), then mirrored to enforce reciprocity.
+    Default (Gaussian): one batched normal draw for every ordered
+    (i, j, t) dyad slot, correlated through chol(R), then mirrored to
+    enforce reciprocity.  ``family`` (:mod:`tame.models.likelihoods`,
+    e.g. ``"poisson"``/``"bernoulli"``) swaps the observation model —
+    counts/binary ties through the same bilinear predictor.
 
     Returns
     -------
@@ -66,18 +70,23 @@ def sample_observations(params: AMEParams, key: Array, X: Array) -> Array:
     """
     n, T, d = X.shape
     r = params.r
-    LR = jnp.linalg.cholesky(params.R)
     mu = dyad_ops.dyadic_mean_temporal(X, r)                   # (n, n, T, 2)
+    if family is not None and getattr(family, "name", family) != "gaussian":
+        from tame.models.likelihoods import get_family
+
+        return get_family(family).sample(key, params, mu)
+    LR = jnp.linalg.cholesky(params.R)
     noise = jax.random.normal(key, (n, n, T, 2)) @ LR.T
     return dyad_ops.symmetrize_dyads(mu + noise)
 
 
-def sample(params: AMEParams, key: Array, n: int, T: int
-           ) -> Tuple[Array, Array]:
-    """Sample (Y, X) from the temporal AME model."""
+def sample(params: AMEParams, key: Array, n: int, T: int,
+           family=None) -> Tuple[Array, Array]:
+    """Sample (Y, X) from the temporal AME model (``family`` selects the
+    dyadic observation model; default Gaussian)."""
     kx, ky = jax.random.split(key)
     X = sample_latents(params, kx, n, T)
-    Y = sample_observations(params, ky, X)
+    Y = sample_observations(params, ky, X, family=family)
     return Y, X
 
 

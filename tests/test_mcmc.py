@@ -503,3 +503,97 @@ class TestNUTSAtScale:
         # mean-field bias is real but small in the identified space
         assert np.median(effect) < 0.5, np.median(effect)
         assert effect.max() < 3.0, effect.max()
+
+
+class TestLikelihoodFamilies:
+    """The declarative likelihood seam (tame.models.likelihoods): the
+    sampler backends accept a declared dyadic family; the reference (and
+    the CAVI engines) hardcode the Gaussian (naive_mf.py:114-132)."""
+
+    def test_gaussian_family_matches_builtin(self):
+        """family='gaussian' must equal the hand-fused default path."""
+        from tame.inference.logprob import make_logdensity_fn
+        from tame.models import build_params, sample
+        from tame.config import ModelConfig
+
+        cfg = ModelConfig(n_nodes=8, n_time=3, latent_dim=1, seed=1)
+        p = build_params(cfg)
+        Y, X = sample(p, jax.random.PRNGKey(1), 8, 3)
+        f0 = make_logdensity_fn(p, Y)
+        f1 = make_logdensity_fn(p, Y, family="gaussian")
+        assert float(f0(X)) == pytest.approx(float(f1(X)), rel=1e-6)
+
+    def test_poisson_sampling_layout(self):
+        from tame.config import ModelConfig
+        from tame.models import build_params, sample
+
+        cfg = ModelConfig(n_nodes=10, n_time=3, latent_dim=1, seed=0)
+        p = build_params(cfg)
+        Y, X = sample(p, jax.random.PRNGKey(0), 10, 3, family="poisson")
+        Y = np.asarray(Y)
+        assert np.all(Y >= 0) and np.all(Y == np.floor(Y))
+        assert np.array_equal(Y[..., 1], np.swapaxes(Y[..., 0], 0, 1))
+        assert np.all(Y[np.arange(10), np.arange(10)] == 0)
+
+    def test_unknown_family_raises(self):
+        from tame.models import get_family
+
+        with pytest.raises(ValueError, match="unknown likelihood"):
+            get_family("negative-binomial")
+
+    @pytest.mark.slow
+    def test_nuts_recovers_poisson_dyads(self):
+        """NUTS on a declared Poisson-dyad family recovers the
+        generating log-rate surface (identified dyadic space)."""
+        from tame.config import ModelConfig
+        from tame.inference.logprob import make_logdensity_fn
+        from tame.inference.nuts import run_nuts
+        from tame.models import build_params, sample
+        from tame.ops import dyad as dyad_ops
+
+        cfg = ModelConfig(n_nodes=12, n_time=4, latent_dim=1, seed=0)
+        p = build_params(cfg)
+        Y, X = sample(p, jax.random.PRNGKey(0), 12, 4, family="poisson")
+        fn = make_logdensity_fn(p, Y, family="poisson")
+        assert float(fn(jnp.asarray(X))) > float(fn(jnp.zeros_like(X)))
+        out = jax.vmap(lambda pos, k: run_nuts(
+            fn, pos, k, num_warmup=150, num_samples=150, max_depth=6))(
+            0.1 * jax.random.normal(jax.random.PRNGKey(1),
+                                    (2,) + X.shape),
+            jax.random.split(jax.random.PRNGKey(2), 2))
+        samples = jnp.asarray(out.positions).reshape((-1,) + X.shape)
+        mu_hat = np.asarray(jnp.mean(jax.vmap(
+            lambda Xs: dyad_ops.dyadic_fwd_temporal(Xs, 1))(samples), 0))
+        mu_true = np.asarray(dyad_ops.dyadic_fwd_temporal(
+            jnp.asarray(X), 1))
+        m = ~np.eye(12, dtype=bool)
+        corr = np.corrcoef(mu_true[m].ravel(), mu_hat[m].ravel())[0, 1]
+        assert corr > 0.8, corr
+
+    @pytest.mark.slow
+    def test_bernoulli_smc_and_class_surface(self):
+        """The engine classes accept family=...; SMC on binary ties runs
+        and its posterior tracks the tie structure."""
+        from tame.inference import TemporalAMESMC
+        from tame.models import sample_observations
+        from tame.ops import dyad as dyad_ops
+
+        model = TemporalAMEModel(n_nodes=10, n_time=3, latent_dim=1,
+                                 seed=2)
+        model.generate_data(return_latents=True)
+        Yb = sample_observations(model.params, jax.random.PRNGKey(3),
+                                 jnp.asarray(model.X),
+                                 family="bernoulli")
+        model.Y = np.asarray(Yb)
+        smc = TemporalAMESMC(model, num_particles=64, num_stages=8,
+                             num_moves=2, seed=0, family="bernoulli")
+        assert smc.precondition is False  # Gaussian preconditioner off
+        result = smc.sample()
+        assert np.all(np.isfinite(np.asarray(result.particles)))
+        mean_X = smc.posterior_mean(result)
+        mu = np.asarray(dyad_ops.dyadic_fwd_temporal(mean_X, 1))
+        y0 = np.asarray(Yb[..., 0])
+        m = ~np.eye(10, dtype=bool)
+        # posterior log-odds separate ties from non-ties
+        assert mu[m].ravel()[y0[m].ravel() > 0].mean() > \
+            mu[m].ravel()[y0[m].ravel() == 0].mean()
