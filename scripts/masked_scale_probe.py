@@ -1,6 +1,18 @@
 """Masked (missing-data) fit at north-star scale on the real TPU:
-n=2000, T=50, r=4, 30% of dyads hidden.  Reports ms/iteration and the
-observed-vs-held-out reconstruction MSE."""
+n=2000, T=50, r=4, 30% of dyads hidden.
+
+Measures the per-iteration slope of three configurations:
+
+  dense      — no mask, production path (stats diagnostics + bf16
+               weights): the reference point;
+  masked-old — mask with exact diagnostics + f32 mask contractions
+               (the only masked path before round 4: ~2.7x dense);
+  masked-new — mask on the production path (masked sufficient-
+               statistics diagnostics + bf16 mask/weights,
+               cavi._masked_residual_stats): target <= ~1.3x dense.
+
+Also reports observed-vs-held-out reconstruction MSE of the new path.
+"""
 import sys
 import time
 
@@ -24,7 +36,7 @@ jax.block_until_ready((Y, mask))
 print("data ready", flush=True)
 
 
-def fit(i, iters):
+def fit(i, iters, **kw):
     init = cavi.init_state(jax.random.fold_in(key, 100 + i), cfg.n_nodes,
                            cfg.n_time, cfg.d, "full", 0.1, 0.5)
     jax.block_until_ready(init)
@@ -32,19 +44,48 @@ def fit(i, iters):
     out = cavi.fit_cavi(Y, params, init, structure="full",
                         update_mode="block", num_blocks=8,
                         max_iter=iters, learning_rate=0.8,
-                        tolerance=0.0, mixed_precision=True, mask=mask)
+                        tolerance=0.0, **kw)
     np.asarray(out.X_mean)  # host fetch barrier (CLAUDE.md)
     return out, time.perf_counter() - t0
 
 
-fit(0, 8)  # compile
-# Slope timing between two budgets removes fixed dispatch cost; inputs
-# differ per call (distinct inits) to defeat transport result caching.
-_, t_small = fit(1, 8)
-out, t_big = fit(2, 40)
-ms_per_iter = (t_big - t_small) / (40 - 8) * 1e3
-print(f"masked n=2000 fit: {ms_per_iter:.2f} ms/iter "
-      f"(slope between 8- and 40-iter fits)", flush=True)
+def slope(tag, i0, **kw):
+    """ms/iter from the slope between 8- and 40-iter fits (removes the
+    fixed dispatch cost); distinct inits defeat transport caching."""
+    fit(i0, 8, **kw)  # compile
+    _, t_small = fit(i0 + 1, 8, **kw)
+    out, t_big = fit(i0 + 2, 40, **kw)
+    ms = (t_big - t_small) / (40 - 8) * 1e3
+    print(f"{tag}: {ms:.2f} ms/iter", flush=True)
+    return out, ms
+
+
+_, ms_dense = slope("dense (stats+mp)", 0,
+                    mixed_precision=True, diag_mode="stats")
+_, ms_old = slope("masked-old (exact, f32)", 10, mask=mask)
+import os
+
+os.environ["TAME_PACKED_MASK"] = "0"
+_, ms_bf16 = slope("masked (stats+mp, bf16 mask)", 50, mask=mask,
+                   mixed_precision=True, diag_mode="stats")
+del os.environ["TAME_PACKED_MASK"]
+out, ms_new = slope("masked-new (stats+mp, int8 packed mask)", 20,
+                    mask=mask, mixed_precision=True, diag_mode="stats")
+print(f"masked-new / dense ratio: {ms_new / ms_dense:.2f}x "
+      f"(bf16-mask {ms_bf16 / ms_dense:.2f}x, "
+      f"exact-f32 {ms_old / ms_dense:.2f}x)", flush=True)
+# Production cadence: evaluating the (cheap but not free) diagnostics
+# every 4th iteration amortizes the two masked diagnostic passes; the
+# update itself is 2 W-passes + 1 mask-pass vs the dense 2 W-passes.
+_, ms_dense4 = slope("dense (stats+mp, elbo_every=4)", 30,
+                     mixed_precision=True, diag_mode="stats",
+                     elbo_every=4)
+_, ms_new4 = slope("masked-new (stats+mp, elbo_every=4)", 40, mask=mask,
+                   mixed_precision=True, diag_mode="stats",
+                   elbo_every=4)
+print(f"elbo_every=4 masked/dense: {ms_new4 / ms_dense4:.2f}x; "
+      f"masked-every-4 vs dense-every-1: "
+      f"{ms_new4 / ms_dense:.2f}x", flush=True)
 
 from tame.ops import dyad as dyad_ops
 

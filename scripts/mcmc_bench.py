@@ -39,9 +39,9 @@ def main(argv=None):
     ap.add_argument("--T", type=int, default=16)
     ap.add_argument("--r", type=int, default=2)
     ap.add_argument("--chains", type=int, default=64)
-    ap.add_argument("--warmup", type=int, default=300)
-    ap.add_argument("--samples", type=int, default=300)
-    ap.add_argument("--max-depth", type=int, default=7)
+    ap.add_argument("--warmup", type=int, default=200)
+    ap.add_argument("--samples", type=int, default=200)
+    ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--k-scalars", type=int, default=64,
                     help="number of dyad-mean coordinates tracked for "
                          "R-hat/ESS")
@@ -116,6 +116,7 @@ def main(argv=None):
     out = jax.vmap(run)(inits, keys)
     np.asarray(postprocess(out.positions)[:, -1])  # host-fetch barrier
     wall = time.perf_counter() - t0
+    del out  # free the (C, S, n, T, d) stack before the timed run
     print(f"total wall (compile + warmup + sample): {wall:.1f}s", flush=True)
 
     # timed second run with fresh keys: steady-state sampling throughput

@@ -152,18 +152,10 @@ class DiagConstants(NamedTuple):
     sum_y0_y0T: Array   # scalar  sum_{ij,t} y0_ij y0_ji
     row_y0: Array       # (n, T)  sum_j y0_ij
     col_y0: Array       # (n, T)  sum_i y0_ij
-    y0_pad: Optional[Array] = None  # (T, n_pad, n_pad) bf16, dual-kernel
-    #                                 layout (only when dual_diag)
 
 
-def precompute_diag_constants(Y: Array,
-                              dual_diag: bool = False) -> DiagConstants:
+def precompute_diag_constants(Y: Array) -> DiagConstants:
     y0 = Y[..., 0]
-    y0_pad = None
-    if dual_diag:
-        from tame.ops.dual_contract import pad_data
-
-        y0_pad = pad_data(jnp.moveaxis(y0, -1, 0))     # (T, n, n) layout
     return DiagConstants(
         sum_y0_sq=jnp.sum(y0 * y0),
         sum_y0_y0T=jnp.einsum("ijt,jit->", y0, y0,
@@ -171,8 +163,34 @@ def precompute_diag_constants(Y: Array,
                               precision=HIGHEST),
         row_y0=y0.sum(1),
         col_y0=y0.sum(0),
-        y0_pad=y0_pad,
     )
+
+
+def _data_mean_cross_terms(obs: ObsConstants, U: Array, V: Array,
+                           R_inv: Array) -> Tuple[Array, Array]:
+    """Data-mean cross terms ``A = sum y0_ij u_ij``,
+    ``B = sum y0_ij u_ji`` (``u_ij = U_i . V_j``) from ONE pass over W0.
+
+    Reciprocity makes ``W1 = W0'`` (``W1[i,j] = q y0_ij + p y0_ji =
+    W0[j,i]``), so the second scalar of the 2x2 recovery system
+
+        s1 = sum_i U_i . (W0 V)_i = p A + q B
+        s3 = sum_i U_i . (W1 V)_i = sum_i V_i . (W0 U)_i = q A + p B
+
+    rides the SAME W0 contraction with the panel ``[V | U]`` — one
+    observation-sized pass instead of two (or instead of the padded-copy
+    dual-contraction kernel this replaced).  p^2 != q^2 whenever R is PD
+    with |rho_dyadic| < 1.
+    """
+    p, q = R_inv[0, 0], R_inv[0, 1]
+    r = U.shape[-1]
+    out = _eta_contract(obs.W0, jnp.concatenate([V, U], axis=-1))
+    s1 = jnp.sum(U * out[..., :r])
+    s3 = jnp.sum(V * out[..., r:])
+    denom = p * p - q * q
+    A = (p * s1 - q * s3) / denom
+    B = (p * s3 - q * s1) / denom
+    return A, B
 
 
 def _residual_stats_from_moments(dc: DiagConstants, obs: ObsConstants,
@@ -182,48 +200,19 @@ def _residual_stats_from_moments(dc: DiagConstants, obs: ObsConstants,
 
     Expands ``sum e0^2`` and ``sum e0_ij e0_ji`` (``e0 = y0 - m``,
     ``m_ij = a_i + b_j + U_i.V_j``) into data constants plus global moments
-    of the variational means.  The only O(n^2 T r) work is the two MXU
-    contractions ``W0 @ V`` and ``W1 @ V``, from which the data-mean cross
-    terms ``A = sum y0_ij u_ij`` and ``B = sum y0_ij u_ji`` are recovered by
-    solving the 2x2 system
-
-        s1 = sum_i U_i . (W0 V)_i = p A + q B
-        s3 = sum_i U_i . (W1 V)_i = q A + p B
-
-    (p = R^-1[0,0], q = R^-1[0,1]; p^2 != q^2 whenever R is PD with
-    |rho_dyadic| < 1).  Everything else is O(n T (r^2 + 1)) on the VPU —
-    the diagnostics pass costs ~two eta-class matmuls instead of reading
-    observation-sized tensors.
+    of the variational means.  The only O(n^2 T r) work is ONE MXU pass
+    over ``W0`` (see :func:`_data_mean_cross_terms`), from which the
+    data-mean cross terms ``A = sum y0_ij u_ij`` and
+    ``B = sum y0_ij u_ji`` are recovered.  Everything else is
+    O(n T (r^2 + 1)) on the VPU — the diagnostics pass costs ~one
+    eta-class matmul instead of reading observation-sized tensors.
 
     Returns ``(sum_offdiag e0^2, sum_offdiag e0_ij e0_ji)`` — the same
     statistics as :func:`tame.ops.dyad.residual_stats_from_fwd` up to
     summation order.
     """
     a, b, U, V = dyad_ops.split_state(X_mean, r)          # (n,T), (n,T,r)
-    p, q = R_inv[0, 0], R_inv[0, 1]
-
-    # -- data-mean cross terms A = sum y0_ij u_ij, B = sum y0_ij u_ji -------
-    if dc.y0_pad is not None:
-        # One streaming pass over the data computes y0 V and y0' V
-        # together (tame.ops.dual_contract); A and B follow directly:
-        # A = <U, y0 V>, B = <U, y0' V>.  Halves the diagnostics HBM
-        # traffic vs the two weight-tensor contractions below.
-        from tame.ops.dual_contract import dual_contract_padded
-
-        Vt = jnp.moveaxis(V, 1, 0)                        # (T, n, r)
-        rowV, colV = dual_contract_padded(
-            dc.y0_pad, Vt, interpret=jax.default_backend() == "cpu")
-        Ut = jnp.moveaxis(U, 1, 0)
-        A = jnp.sum(Ut * rowV)
-        B = jnp.sum(Ut * colV)
-    else:
-        W0V = _eta_contract(obs.W0, V)                    # (n, T, r)
-        W1V = _eta_contract(obs.W1, V)
-        s1 = jnp.sum(U * W0V)
-        s3 = jnp.sum(U * W1V)
-        denom = p * p - q * q
-        A = (p * s1 - q * s3) / denom
-        B = (p * s3 - q * s1) / denom
+    A, B = _data_mean_cross_terms(obs, U, V, R_inv)
 
     # -- per-time global moments (all O(n T r^2)) ---------------------------
     alpha = a.sum(0)                                      # (T,)
@@ -294,27 +283,10 @@ def _masked_residual_stats(dc: DiagConstants, obs: ObsConstants,
     counterpart (complete networks only, ``naive_mf.py:324-374``).
     """
     a, b, U, V = dyad_ops.split_state(X_mean, r)          # (n,T), (n,T,r)
-    p, q = R_inv[0, 0], R_inv[0, 1]
     n, T = a.shape
 
-    # -- data-mean cross terms: same recovery as the dense path ------------
-    if dc.y0_pad is not None:
-        from tame.ops.dual_contract import dual_contract_padded
-
-        Vt = jnp.moveaxis(V, 1, 0)                        # (T, n, r)
-        rowV, colV = dual_contract_padded(
-            dc.y0_pad, Vt, interpret=jax.default_backend() == "cpu")
-        Ut = jnp.moveaxis(U, 1, 0)
-        A = jnp.sum(Ut * rowV)
-        B = jnp.sum(Ut * colV)
-    else:
-        W0V = _eta_contract(obs.W0, V)                    # (n, T, r)
-        W1V = _eta_contract(obs.W1, V)
-        s1 = jnp.sum(U * W0V)
-        s3 = jnp.sum(U * W1V)
-        denom = p * p - q * q
-        A = (p * s1 - q * s3) / denom
-        B = (p * s3 - q * s1) / denom
+    # -- data-mean cross terms: same single-pass recovery as dense ---------
+    A, B = _data_mean_cross_terms(obs, U, V, R_inv)
     y_ab = jnp.sum(a * dc.row_y0) + jnp.sum(b * dc.col_y0)
     y_abT = jnp.sum(a * dc.col_y0) + jnp.sum(b * dc.row_y0)
 
@@ -326,7 +298,7 @@ def _masked_residual_stats(dc: DiagConstants, obs: ObsConstants,
         (b * b)[..., None],
         U, V, a[..., None] * V, b[..., None] * V, b[..., None] * U,
         VV, OVU], axis=-1)                                # (n, T, K)
-    C = _eta_contract(mask, Z)                            # (m g)_i panels
+    C = _mask_contract(mask, Z)                           # (m g)_i panels
     cnt, Ma, Mb, Mb2 = C[..., 0], C[..., 1], C[..., 2], C[..., 3]
     o = 4
     MU = C[..., o:o + r]
@@ -414,45 +386,69 @@ def _obs_precision(U: Array, V: Array, R_inv: Array) -> Array:
     return P
 
 
-def _masked_obs_precision(Mr: Array, U: Array, V: Array,
-                          R_inv: Array) -> Array:
-    """Observation precision ``sum_{j observed} J' R^-1 J`` under a dyad
-    mask, for a row-slice of nodes.
+class PackedMask(NamedTuple):
+    """Observation mask in the int8 packed-kernel layout
+    (:mod:`tame.ops.masked_contract`): ``blocks`` is
+    ``(num_blocks, T, bs_pad, n_pad) int8``, rows block-major.  Flows
+    through the masked contractions in place of the dense (n, n, T)
+    array, halving the per-iteration mask HBM traffic."""
 
-    The complete-network assembly (:func:`_obs_precision`) collapses the
-    j-sums into GLOBAL statistics minus the self term; with missing dyads
-    the sums become per-node masked contractions: counts, masked partner
-    sums, and masked partner Grams — the Grams ride the same MXU
-    contraction as the eta terms with the outer-product panels
-    ``U_j U_j' / V_j V_j' / V_j U_j'`` as the right factor (3 r^2 extra
-    columns).  No reference counterpart: the reference supports complete
-    networks only.
+    blocks: Array
 
-    Parameters
-    ----------
-    Mr : (m, n, T) mask rows (1 = dyad observed, 0 = missing; diag 0).
-    U, V : (n, T, r) current variational means.
 
-    Returns
-    -------
-    P_obs : (m, T, d, d)
-    """
+def _packed_contract_all(pm: PackedMask, Z: Array) -> Array:
+    """Full-mask partner contraction through the int8 kernel: all block
+    stripes, concatenated back to node order.  Z: (n, T, K)."""
+    from tame.ops.masked_contract import packed_rows_contract
+
+    nb = pm.blocks.shape[0]
+    n = Z.shape[0]
+    bs = n // nb
+    interp = jax.default_backend() == "cpu"
+    outs = [packed_rows_contract(pm.blocks[k], Z, interpret=interp)[:bs]
+            for k in range(nb)]
+    return outs[0] if nb == 1 else jnp.concatenate(outs, 0)
+
+
+def _mask_contract(mask, Z: Array) -> Array:
+    """Masked partner contraction ``(m, T, K)``: dense (m, n, T) mask via
+    the einsum path, :class:`PackedMask` via the int8 kernel."""
+    if isinstance(mask, PackedMask):
+        return _packed_contract_all(mask, Z)
+    return _eta_contract(mask, Z)
+
+
+def _masked_panel(U: Array, V: Array) -> Array:
+    """The (n, T, 1 + 2r + 3r^2) feature panel whose masked partner sums
+    assemble the observation precision: ones (counts), U, V, and the
+    outer-product columns UU / VV / VU.  ONE concatenated contraction:
+    XLA does not merge separate dots over the same operand, so issuing
+    counts/sums/Grams as six einsums would read the (m, n, T) mask six
+    times — the mask pass, not the panel width, is the cost at scale."""
     n, T, r = U.shape
-    d = 2 + 2 * r
-    p, q = R_inv[0, 0], R_inv[0, 1]
-    Mf = Mr.astype(jnp.float32)
-    cnt = Mf.sum(1)                                          # (m, T)
-    sU = _eta_contract(Mr, U)                                # (m, T, r)
-    sV = _eta_contract(Mr, V)
     UU = (U[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
     VV = (V[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
     VU = (V[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
-    m = Mr.shape[0]
-    GUU = _eta_contract(Mr, UU).reshape(m, T, r, r)
-    GVV = _eta_contract(Mr, VV).reshape(m, T, r, r)
-    GVU = _eta_contract(Mr, VU).reshape(m, T, r, r)
+    ones = jnp.ones((n, T, 1), U.dtype)
+    return jnp.concatenate([ones, U, V, UU, VV, VU], axis=-1)
 
-    P = jnp.zeros((m, T, d, d), U.dtype)
+
+def _masked_P_from_C(C: Array, R_inv: Array, r: int) -> Array:
+    """Assemble the masked observation precision from the contracted
+    panel ``C = mask @ _masked_panel(U, V)``; see
+    :func:`_masked_obs_precision`."""
+    d = 2 + 2 * r
+    p, q = R_inv[0, 0], R_inv[0, 1]
+    m, T = C.shape[:2]
+    cnt = C[..., 0]                                          # (m, T)
+    sU = C[..., 1:1 + r]                                     # (m, T, r)
+    sV = C[..., 1 + r:1 + 2 * r]
+    o = 1 + 2 * r
+    GUU = C[..., o:o + r * r].reshape(m, T, r, r)
+    GVV = C[..., o + r * r:o + 2 * r * r].reshape(m, T, r, r)
+    GVU = C[..., o + 2 * r * r:].reshape(m, T, r, r)
+
+    P = jnp.zeros((m, T, d, d), C.dtype)
     P = P.at[..., 0, 0].set(p * cnt).at[..., 1, 1].set(p * cnt)
     P = P.at[..., 0, 1].set(q * cnt).at[..., 1, 0].set(q * cnt)
     P = P.at[..., 0, 2:2 + r].set(p * sV).at[..., 2:2 + r, 0].set(p * sV)
@@ -464,6 +460,32 @@ def _masked_obs_precision(Mr: Array, U: Array, V: Array,
     P = P.at[..., 2:2 + r, 2 + r:].set(q * GVU)
     P = P.at[..., 2 + r:, 2:2 + r].set(q * jnp.swapaxes(GVU, -1, -2))
     return P
+
+
+def _masked_obs_precision(Mr, U: Array, V: Array, R_inv: Array) -> Array:
+    """Observation precision ``sum_{j observed} J' R^-1 J`` under a dyad
+    mask, for a row-slice of nodes.
+
+    The complete-network assembly (:func:`_obs_precision`) collapses the
+    j-sums into GLOBAL statistics minus the self term; with missing dyads
+    the sums become per-node masked contractions: counts, masked partner
+    sums, and masked partner Grams — one concatenated-panel contraction
+    (:func:`_masked_panel`), through the int8 packed kernel when ``Mr``
+    is a :class:`PackedMask`.  No reference counterpart: the reference
+    supports complete networks only.
+
+    Parameters
+    ----------
+    Mr : (m, n, T) mask rows (1 = observed; diag 0) or a full-mask
+        :class:`PackedMask`.
+    U, V : (n, T, r) current variational means.
+
+    Returns
+    -------
+    P_obs : (m, T, d, d)
+    """
+    C = _mask_contract(Mr, _masked_panel(U, V))
+    return _masked_P_from_C(C, R_inv, U.shape[-1])
 
 
 def _obs_nat_param(obs: ObsConstants, X_mean: Array, r: int,
@@ -496,11 +518,17 @@ def _obs_nat_param(obs: ObsConstants, X_mean: Array, r: int,
         c = p * b + q * a                                   # (n, T)
         dd = q * b + p * a
         if mask is not None:
-            # Missing dyads: offset sums run over observed partners only.
-            eta_a = eta_a - _eta_contract(mask, c[..., None])[..., 0]
-            eta_b = eta_b - _eta_contract(mask, dd[..., None])[..., 0]
-            etaU = etaU - _eta_contract(mask, c[..., None] * V)
-            etaV = etaV - _eta_contract(mask, dd[..., None] * U)
+            # Missing dyads: offset sums run over observed partners only
+            # — one concatenated-panel mask pass (cf.
+            # _masked_obs_precision).
+            C = _mask_contract(mask, jnp.concatenate(
+                [c[..., None], dd[..., None], c[..., None] * V,
+                 dd[..., None] * U], axis=-1))
+            r_ = V.shape[-1]
+            eta_a = eta_a - C[..., 0]
+            eta_b = eta_b - C[..., 1]
+            etaU = etaU - C[..., 2:2 + r_]
+            etaV = etaV - C[..., 2 + r_:]
         else:
             eta_a = eta_a - (c.sum(0)[None] - c)
             eta_b = eta_b - (dd.sum(0)[None] - dd)
@@ -762,8 +790,29 @@ def cavi_step_block(state: CaviState, obs: ObsConstants,
     W1r = obs.W1.reshape(num_blocks, bs, n, T)
     eta_ar = obs.eta_a.reshape(num_blocks, bs, T)
     eta_br = obs.eta_b.reshape(num_blocks, bs, T)
-    Mr = (mask.reshape(num_blocks, bs, n, T)
-          if mask is not None else None)
+    if mask is None:
+        Mr = None
+    elif isinstance(mask, PackedMask):
+        if mask.blocks.shape[0] != num_blocks:
+            raise ValueError("PackedMask block count must match "
+                             "num_blocks")
+        Mr = mask
+    else:
+        Mr = mask.reshape(num_blocks, bs, n, T)
+
+    def block_mask_contract(b, Z):
+        """Masked partner contraction of block b's mask rows (bs, T, K);
+        int8 kernel stripe when packed, dense einsum slice otherwise."""
+        if isinstance(Mr, PackedMask):
+            from tame.ops.masked_contract import packed_rows_contract
+
+            stripe = jax.lax.dynamic_index_in_dim(Mr.blocks, b, 0,
+                                                  keepdims=False)
+            return packed_rows_contract(
+                stripe, Z,
+                interpret=jax.default_backend() == "cpu")[:bs]
+        Mb = jax.lax.dynamic_index_in_dim(Mr, b, 0, keepdims=False)
+        return _eta_contract(Mb, Z)
 
     def update_block(b, carry):
         X_mean, X_cov = carry
@@ -774,8 +823,8 @@ def cavi_step_block(state: CaviState, obs: ObsConstants,
         Vb = jax.lax.dynamic_slice_in_dim(V, start, bs, 0)
 
         if Mr is not None:
-            Mb = jax.lax.dynamic_index_in_dim(Mr, b, 0, keepdims=False)
-            P = _masked_obs_precision(Mb, U, V, params.R_inv) + prior_P
+            C = block_mask_contract(b, _masked_panel(U, V))
+            P = _masked_P_from_C(C, params.R_inv, r) + prior_P
         else:
             # Fresh global sufficient statistics (cheap: O(n T r^2)).
             sU_all = U.sum(0)                                  # (T, r)
@@ -821,14 +870,14 @@ def cavi_step_block(state: CaviState, obs: ObsConstants,
             cc = p * b_all + q * a_all
             ddc = q * b_all + p * a_all
             if Mr is not None:
-                Mb = jax.lax.dynamic_index_in_dim(Mr, b, 0,
-                                                  keepdims=False)
-                eta_a_b = eta_a_b - _eta_contract(
-                    Mb, cc[..., None])[..., 0]
-                eta_b_b = eta_b_b - _eta_contract(
-                    Mb, ddc[..., None])[..., 0]
-                etaU = etaU - _eta_contract(Mb, cc[..., None] * V)
-                etaV = etaV - _eta_contract(Mb, ddc[..., None] * U)
+                # one mask pass (cf. _masked_obs_precision)
+                Cc = block_mask_contract(b, jnp.concatenate(
+                    [cc[..., None], ddc[..., None], cc[..., None] * V,
+                     ddc[..., None] * U], axis=-1))
+                eta_a_b = eta_a_b - Cc[..., 0]
+                eta_b_b = eta_b_b - Cc[..., 1]
+                etaU = etaU - Cc[..., 2:2 + r]
+                etaV = etaV - Cc[..., 2 + r:]
             else:
                 cb = jax.lax.dynamic_slice_in_dim(cc, start, bs, 0)
                 db = jax.lax.dynamic_slice_in_dim(ddc, start, bs, 0)
@@ -1250,10 +1299,18 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                              diverged=out.diverged,
                              last_elbo=out.last_elbo,
                              pat_count=out.pat_count)
-    # Evaluated OUTSIDE jit so toggling the env var between calls is not
-    # silently baked into a cached trace (cf. the `fused` gate above).
-    dual_diag = (diag_mode == "stats" and mixed_precision
-                 and not os.environ.get("TAME_DISABLE_FUSED_FIT"))
+    # Int8 packed-mask contractions (tame.ops.masked_contract): on by
+    # default for mixed-precision masked fits on accelerator backends
+    # (the Pallas kernel is interpret-only on CPU — too slow for real
+    # fits, but TAME_PACKED_MASK=1 forces it for tests; =0 disables).
+    packed_mask = False
+    if mask is not None:
+        env = os.environ.get("TAME_PACKED_MASK")
+        if env == "1":
+            packed_mask = True
+        elif env != "0":
+            packed_mask = (mixed_precision
+                           and jax.default_backend() != "cpu")
     return _fit_cavi_impl(Y, params, init, jnp.asarray(max_iter),
                           jnp.asarray(learning_rate, Y.dtype),
                           jnp.asarray(tolerance, Y.dtype),
@@ -1265,7 +1322,7 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                           num_blocks=num_blocks, corrected=corrected,
                           elbo_every=elbo_every,
                           mixed_precision=mixed_precision,
-                          diag_mode=diag_mode, dual_diag=dual_diag,
+                          diag_mode=diag_mode, packed_mask=packed_mask,
                           mask=mask)
 
 
@@ -1274,14 +1331,15 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                                              "num_blocks", "corrected",
                                              "elbo_every",
                                              "mixed_precision",
-                                             "diag_mode", "dual_diag"))
+                                             "diag_mode",
+                                             "packed_mask"))
 def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
                    max_iter: Array, learning_rate: Array, tolerance: Array,
                    carry_elbo: Array, carry_patience: Array,
                    *, structure: str, update_mode: str, buf_size: int,
                    patience: int, num_blocks, corrected: bool,
                    elbo_every: int, mixed_precision: bool,
-                   diag_mode: str, dual_diag: bool = False,
+                   diag_mode: str, packed_mask: bool = False,
                    mask: Optional[Array] = None) -> FitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
@@ -1296,7 +1354,14 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
     mask_c = mask
     if mask is not None:
         Y = jnp.where(mask[..., None] > 0, Y, 0.0)
-        if mixed_precision:
+        if packed_mask:
+            # int8 packed layout: 1 byte/entry mask passes through the
+            # Pallas kernel (tame.ops.masked_contract).
+            from tame.ops.masked_contract import pack_mask
+
+            nb = num_blocks if update_mode == "block" else 1
+            mask_c = PackedMask(blocks=pack_mask(mask, nb))
+        elif mixed_precision:
             # 0/1 entries are exact in bf16; the masked partner
             # contractions then ride the same single-pass bf16 path as
             # the dyad-weight contractions (half the mask HBM traffic).
@@ -1320,11 +1385,7 @@ def _fit_cavi_impl(Y: Array, params: AMEParams, init: CaviState,
         running = jnp.logical_not(jnp.logical_or(conv, div))
         return jnp.logical_and(it < max_iter, running)
 
-    # Dual-contraction diagnostics: in mixed-precision stats mode the
-    # A/B data-mean cross terms come from ONE pass over the bf16 data
-    # tensor (tame.ops.dual_contract) instead of two passes over the
-    # weight tensors — the remaining HBM lever at scale (README).
-    dc = (precompute_diag_constants(Y, dual_diag=dual_diag)
+    dc = (precompute_diag_constants(Y)
           if diag_mode == "stats" else None)
     if mask is not None:
         mask_stats = (0.5 * jnp.sum(mask),

@@ -144,6 +144,176 @@ def smoothed_step(state: SmoothedState, obs: cavi.ObsConstants,
                          logdets=out.logdet)
 
 
+def smoothed_step_block(state: SmoothedState, obs: cavi.ObsConstants,
+                        pri: cavi.PriorMatrices, params: AMEParams,
+                        lr: Array, num_blocks: int,
+                        corrected: bool = True,
+                        fused: bool = False,
+                        parallel: bool = False,
+                        mask=None) -> SmoothedState:
+    """Block Gauss-Seidel smoothed update: node blocks re-solved in
+    sequence, each block's trajectories solved EXACTLY against the
+    freshest other-node means.
+
+    Rationale mirrors ``cavi.cavi_step_block``: the simultaneous
+    (:func:`smoothed_step`) update is Jacobi over nodes, whose effective
+    spectral radius grows with the node coupling — at n = 2000 it
+    oscillates at lr ~ 0.8 and never meets the tolerance rule.  A few
+    sequential blocks restore stability; at lr = 1 each phase is an
+    EXACT block coordinate-ascent step of the smoothed family.  The
+    assembly mirrors ``cavi_step_block`` (fresh global statistics per
+    phase, one concatenated mask pass when masked) with the
+    block-tridiagonal trajectory solve in place of the per-time solve
+    and no neighbor-mean prior coupling (time handled exactly).
+    """
+    n, T, d = state.X_mean.shape
+    r = (d - 2) // 2
+    if n % num_blocks != 0:
+        raise ValueError(f"num_blocks={num_blocks} must divide n={n}")
+    bs = n // num_blocks
+    p, q = params.R_inv[0, 0], params.R_inv[0, 1]
+    c = jnp.asarray(n - 1, state.X_mean.dtype)
+    prior_D = cavi._prior_precision(pri, T)                # (T, d, d)
+    O = -pri.Qinv_Phi.T
+
+    W0r = obs.W0.reshape(num_blocks, bs, n, T)
+    W1r = obs.W1.reshape(num_blocks, bs, n, T)
+    eta_ar = obs.eta_a.reshape(num_blocks, bs, T)
+    eta_br = obs.eta_b.reshape(num_blocks, bs, T)
+    if mask is None:
+        Mr = None
+    elif isinstance(mask, cavi.PackedMask):
+        if mask.blocks.shape[0] != num_blocks:
+            raise ValueError("PackedMask block count must match "
+                             "num_blocks")
+        Mr = mask
+    else:
+        Mr = mask.reshape(num_blocks, bs, n, T)
+
+    def block_mask_contract(b, Z):
+        if isinstance(Mr, cavi.PackedMask):
+            from tame.ops.masked_contract import packed_rows_contract
+
+            stripe = jax.lax.dynamic_index_in_dim(Mr.blocks, b, 0,
+                                                  keepdims=False)
+            return packed_rows_contract(
+                stripe, Z,
+                interpret=jax.default_backend() == "cpu")[:bs]
+        Mb = jax.lax.dynamic_index_in_dim(Mr, b, 0, keepdims=False)
+        return cavi._eta_contract(Mb, Z)
+
+    def update_block(b, carry):
+        X_mean, X_cov, X_cross, logdets = carry
+        _, _, U, V = dyad_ops.split_state(X_mean, r)       # (n, T, r)
+        start = b * bs
+        Ub = jax.lax.dynamic_slice_in_dim(U, start, bs, 0)
+        Vb = jax.lax.dynamic_slice_in_dim(V, start, bs, 0)
+
+        if Mr is not None:
+            C = block_mask_contract(b, cavi._masked_panel(U, V))
+            D_obs = cavi._masked_P_from_C(C, params.R_inv, r)
+        else:
+            # Fresh global sufficient statistics (cheap: O(n T r^2)).
+            sU = U.sum(0)[None] - Ub
+            sV = V.sum(0)[None] - Vb
+            GUU = jnp.einsum("jtk,jtl->tkl", U, U,
+                             preferred_element_type=jnp.float32,
+                             precision=HIGHEST)[None] \
+                - Ub[..., :, None] * Ub[..., None, :]
+            GVV = jnp.einsum("jtk,jtl->tkl", V, V,
+                             preferred_element_type=jnp.float32,
+                             precision=HIGHEST)[None] \
+                - Vb[..., :, None] * Vb[..., None, :]
+            GVU = jnp.einsum("jtk,jtl->tkl", V, U,
+                             preferred_element_type=jnp.float32,
+                             precision=HIGHEST)[None] \
+                - Vb[..., :, None] * Ub[..., None, :]
+            D_obs = jnp.zeros((bs, T, d, d), X_mean.dtype)
+            D_obs = D_obs.at[..., 0, 0].set(p * c).at[..., 1, 1].set(p * c)
+            D_obs = D_obs.at[..., 0, 1].set(q * c).at[..., 1, 0].set(q * c)
+            D_obs = D_obs.at[..., 0, 2:2 + r].set(p * sV) \
+                         .at[..., 2:2 + r, 0].set(p * sV)
+            D_obs = D_obs.at[..., 0, 2 + r:].set(q * sU) \
+                         .at[..., 2 + r:, 0].set(q * sU)
+            D_obs = D_obs.at[..., 1, 2:2 + r].set(q * sV) \
+                         .at[..., 2:2 + r, 1].set(q * sV)
+            D_obs = D_obs.at[..., 1, 2 + r:].set(p * sU) \
+                         .at[..., 2 + r:, 1].set(p * sU)
+            D_obs = D_obs.at[..., 2:2 + r, 2:2 + r].set(p * GVV)
+            D_obs = D_obs.at[..., 2 + r:, 2 + r:].set(p * GUU)
+            D_obs = D_obs.at[..., 2:2 + r, 2 + r:].set(q * GVU)
+            D_obs = D_obs.at[..., 2 + r:, 2:2 + r].set(
+                q * jnp.swapaxes(GVU, -1, -2))
+
+        W0b = jax.lax.dynamic_index_in_dim(W0r, b, 0, keepdims=False)
+        W1b = jax.lax.dynamic_index_in_dim(W1r, b, 0, keepdims=False)
+        etaU = cavi._eta_contract(W0b, V)
+        etaV = cavi._eta_contract(W1b, U)
+        eta_a_b = jax.lax.dynamic_index_in_dim(eta_ar, b, 0, False)
+        eta_b_b = jax.lax.dynamic_index_in_dim(eta_br, b, 0, False)
+        if corrected:
+            a_all = X_mean[..., 0]
+            b_all = X_mean[..., 1]
+            cc = p * b_all + q * a_all
+            ddc = q * b_all + p * a_all
+            if Mr is not None:
+                Cc = block_mask_contract(b, jnp.concatenate(
+                    [cc[..., None], ddc[..., None], cc[..., None] * V,
+                     ddc[..., None] * U], axis=-1))
+                eta_a_b = eta_a_b - Cc[..., 0]
+                eta_b_b = eta_b_b - Cc[..., 1]
+                etaU = etaU - Cc[..., 2:2 + r]
+                etaV = etaV - Cc[..., 2 + r:]
+            else:
+                cb = jax.lax.dynamic_slice_in_dim(cc, start, bs, 0)
+                db = jax.lax.dynamic_slice_in_dim(ddc, start, bs, 0)
+                eta_a_b = eta_a_b - (cc.sum(0)[None] - cb)
+                eta_b_b = eta_b_b - (ddc.sum(0)[None] - db)
+                cV = jnp.einsum("jt,jtr->tr", cc, V,
+                                precision=HIGHEST)[None] \
+                    - cb[..., None] * Vb
+                dU = jnp.einsum("jt,jtr->tr", ddc, U,
+                                precision=HIGHEST)[None] \
+                    - db[..., None] * Ub
+                etaU = etaU - cV
+                etaV = etaV - dU
+        bvec = jnp.concatenate(
+            [eta_a_b[..., None], eta_b_b[..., None], etaU, etaV], axis=-1)
+
+        if parallel:
+            from tame.ops.ptridiag import parallel_block_tridiag_smoother
+
+            out = jax.vmap(lambda Ji, bi: parallel_block_tridiag_smoother(
+                Ji, bi, params.Phi, params.Q, params.Sigma0))(D_obs, bvec)
+        else:
+            D = D_obs + prior_D[None]
+            if fused:
+                out = fused_smoother(
+                    D, O, bvec,
+                    interpret=jax.default_backend() == "cpu")
+            else:
+                out = jax.vmap(
+                    lambda Di, bi: block_tridiag_smoother(Di, O, bi))(
+                    D, bvec)
+
+        mu_old = jax.lax.dynamic_slice_in_dim(X_mean, start, bs, 0)
+        X_mean = jax.lax.dynamic_update_slice_in_dim(
+            X_mean, lr * out.mean + (1.0 - lr) * mu_old, start, 0)
+        X_cov = jax.lax.dynamic_update_slice_in_dim(
+            X_cov, out.cov, start, 0)
+        X_cross = jax.lax.dynamic_update_slice_in_dim(
+            X_cross, out.cross_cov, start, 0)
+        logdets = jax.lax.dynamic_update_slice_in_dim(
+            logdets, out.logdet, start, 0)
+        return X_mean, X_cov, X_cross, logdets
+
+    X_mean, X_cov, X_cross, logdets = jax.lax.fori_loop(
+        0, num_blocks, update_block,
+        (state.X_mean, state.X_cov, state.X_cross, state.logdets))
+    return SmoothedState(X_mean=X_mean.astype(state.X_mean.dtype),
+                         X_cov=X_cov, X_cross=X_cross, logdets=logdets)
+
+
 def smoothed_elbo(Y: Array, params: AMEParams, pri: cavi.PriorMatrices,
                   state: SmoothedState, mu_dyadic: Array | None = None,
                   obs_mask: Array | None = None) -> Array:
@@ -239,6 +409,7 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
                       corrected: bool = True,
                       fused="auto",
                       smoother: str = "auto",
+                      update_mode: str = "auto", num_blocks=None,
                       mixed_precision: bool = False,
                       diag_mode: str = "exact",
                       carry_elbo=None, carry_patience=0,
@@ -264,6 +435,14 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
     bounds hyperparameter learning; these flags keep it on the same
     HBM budget as the CAVI engines.
 
+    ``update_mode``: ``"jacobi"`` is the simultaneous update
+    (:func:`smoothed_step` — every node against the previous iterate);
+    ``"block"`` the block-Gauss-Seidel variant
+    (:func:`smoothed_step_block` — stable at lr ~ 1 for any n, the
+    production choice at scale); ``"auto"`` (default) picks block once
+    n >= 256 (below that jacobi converges fine and keeps the
+    historical trajectories).
+
     ``carry_elbo``/``carry_patience`` seed the convergence bookkeeping
     from a prior segment's ``SmoothedFitResult.last_elbo``/``.pat_count``
     so a fit run in segments (engine in-fit checkpointing) stops at
@@ -273,6 +452,8 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
         raise ValueError(f"unknown diag_mode: {diag_mode!r}")
     if smoother not in ("auto", "sequential", "parallel"):
         raise ValueError(f"unknown smoother: {smoother!r}")
+    if update_mode not in ("auto", "jacobi", "block"):
+        raise ValueError(f"unknown update_mode: {update_mode!r}")
     buf = 64
     while buf < max_iter:
         buf *= 2
@@ -304,10 +485,20 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
                     else "sequential")
     if smoother == "parallel":
         fused = False  # mutually exclusive solver choices
-    # Evaluated OUTSIDE jit so env-var toggles are not baked into a cached
-    # trace (cf. cavi.fit_cavi).
-    dual_diag = (diag_mode == "stats" and mixed_precision
-                 and not os.environ.get("TAME_DISABLE_FUSED_FIT"))
+    if update_mode == "auto":
+        update_mode = "block" if n >= 256 else "jacobi"
+    if update_mode == "block" and num_blocks is None:
+        # Largest divisor of n that is <= 16 (cf. cavi.fit_cavi).
+        num_blocks = next(k for k in range(min(16, n), 0, -1)
+                          if n % k == 0)
+    packed_mask = False
+    if mask is not None:
+        env = os.environ.get("TAME_PACKED_MASK")
+        if env == "1":
+            packed_mask = True
+        elif env != "0":
+            packed_mask = (mixed_precision
+                           and jax.default_backend() != "cpu")
     return _fit_smoothed_impl(Y, params, init, jnp.asarray(max_iter),
                               jnp.asarray(learning_rate, Y.dtype),
                               jnp.asarray(tolerance, Y.dtype),
@@ -317,8 +508,11 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
                               buf_size=buf, patience=patience,
                               corrected=corrected, fused=bool(fused),
                               parallel=(smoother == "parallel"),
+                              update_mode=update_mode,
+                              num_blocks=num_blocks,
                               mixed_precision=mixed_precision,
-                              diag_mode=diag_mode, dual_diag=dual_diag,
+                              diag_mode=diag_mode,
+                              packed_mask=packed_mask,
                               mask=mask)
 
 
@@ -326,16 +520,19 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
                                              "corrected", "fused",
                                              "parallel",
                                              "mixed_precision",
-                                             "diag_mode", "dual_diag"))
+                                             "diag_mode", "packed_mask",
+                                             "update_mode", "num_blocks"))
 def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol,
                        carry_elbo, carry_patience, *,
                        buf_size: int, patience: int,
                        corrected: bool,
                        fused: bool = False,
                        parallel: bool = False,
+                       update_mode: str = "jacobi",
+                       num_blocks=None,
                        mixed_precision: bool = False,
                        diag_mode: str = "exact",
-                       dual_diag: bool = False,
+                       packed_mask: bool = False,
                        mask=None) -> SmoothedFitResult:
     n, _, T, _ = Y.shape
     d = init.X_mean.shape[-1]
@@ -345,13 +542,17 @@ def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol,
     mask_c = mask
     if mask is not None:
         Y = jnp.where(mask[..., None] > 0, Y, 0.0)
-        if mixed_precision:
+        if packed_mask:
+            from tame.ops.masked_contract import pack_mask
+
+            mask_c = cavi.PackedMask(blocks=pack_mask(mask, 1))
+        elif mixed_precision:
             mask_c = mask.astype(jnp.bfloat16)
     obs = cavi.precompute_obs_constants(
         Y, params.R_inv,
         w_dtype=jnp.bfloat16 if mixed_precision else None)
     pri = cavi.precompute_priors(params)
-    dc = (cavi.precompute_diag_constants(Y, dual_diag=dual_diag)
+    dc = (cavi.precompute_diag_constants(Y)
           if diag_mode == "stats" else None)
     if mask is not None:
         mask_stats = (0.5 * jnp.sum(mask),
@@ -397,9 +598,15 @@ def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol,
 
     def body(carry):
         state, it, prev, pat, conv, div, eh, mh = carry
-        state = smoothed_step(state, obs, pri, params, lr, corrected,
-                              fused=fused, parallel=parallel,
-                              mask=mask_c)
+        if update_mode == "block":
+            state = smoothed_step_block(state, obs, pri, params, lr,
+                                        num_blocks, corrected,
+                                        fused=fused, parallel=parallel,
+                                        mask=mask_c)
+        else:
+            state = smoothed_step(state, obs, pri, params, lr, corrected,
+                                  fused=fused, parallel=parallel,
+                                  mask=mask_c)
         elbo, mse = diagnostics(state)
         eh = eh.at[it].set(elbo)
         mh = mh.at[it].set(mse)
@@ -439,6 +646,7 @@ class TemporalAMESmoothedVI:
     def __init__(self, model, learning_rate: float = 0.8,
                  init_scale: float = 0.1, seed: int = 42,
                  corrected: bool = True, init_mode: str = "random",
+                 update_mode: str = "auto", num_blocks=None,
                  mixed_precision: bool = False, diag_mode: str = "exact",
                  mask=None):
         if model.Y is None:
@@ -451,6 +659,8 @@ class TemporalAMESmoothedVI:
         self.lr = learning_rate
         self.seed = seed
         self.corrected = corrected
+        self.update_mode = update_mode
+        self.num_blocks = num_blocks
         self.mixed_precision = mixed_precision
         self.diag_mode = diag_mode
         # Missing-data support: (n, n, T) dyad observation mask (shared
@@ -528,6 +738,8 @@ class TemporalAMESmoothedVI:
                 self.Y, self.params, self._state, max_iter=seg,
                 learning_rate=self.lr, tolerance=tolerance,
                 corrected=self.corrected, mask=self.mask,
+                update_mode=self.update_mode,
+                num_blocks=self.num_blocks,
                 mixed_precision=self.mixed_precision,
                 diag_mode=self.diag_mode,
                 carry_elbo=self._carry_elbo,

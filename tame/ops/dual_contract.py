@@ -11,9 +11,13 @@ step issues two MXU dots — ``W_tile @ Z_t`` into its row-output block and
 ``W_tile' @ Z_t[tile rows]`` accumulated into the column-output block,
 which Pallas keeps resident across the row-tile-innermost grid steps.
 
-Used by the ``diag_mode="stats"`` path of ``fit_cavi`` (mixed precision,
-TPU): per-iteration diagnostics traffic drops from two weight passes
-(~800 MB at n=2000) to one data pass (~400 MB).
+History: this kernel carried the ``diag_mode="stats"`` A/B cross-terms
+in mixed-precision fits (one data pass instead of two weight passes)
+until the reciprocity identity ``W1 = W0'`` made the kernel unnecessary
+for that use — ``cavi._data_mean_cross_terms`` now recovers both terms
+from ONE plain ``W0 @ [V | U]`` einsum with no padded copy.  The kernel
+remains available for workloads that genuinely need row+column
+contractions of a NON-symmetric-structured tensor in one pass.
 
 Jacobi-only updates through this kernel were measured and rejected: at
 n=2000 Jacobi needs lr <= 0.5 and ~6x the iterations of 8-block

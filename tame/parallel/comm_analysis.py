@@ -119,7 +119,7 @@ def analyze_sharded_fit(n: int, T: int, r: int, *, nodes: int = 1,
         structure=structure, update_mode=update_mode, buf_size=64,
         patience=3, num_blocks=num_blocks, corrected=False,
         elbo_every=1, mixed_precision=False, diag_mode=diag_mode,
-        dual_diag=False)
+)
     compiled = lowered.compile()
     stats = collective_stats(compiled.as_text())
 

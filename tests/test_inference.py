@@ -673,10 +673,11 @@ class TestStatsDiagnostics:
         assert np.allclose(np.asarray(col), np.asarray(cref), atol=1e-5)
 
     @pytest.mark.slow
-    def test_dual_diag_matches_exact_history(self):
-        """mixed_precision + diag_mode='stats' routes A/B through the
-        dual-contraction kernel; histories must still track the exact
-        (f32) diagnostics to bf16 data-quantization error."""
+    def test_mixed_stats_matches_exact_history(self):
+        """mixed_precision + diag_mode='stats' recovers A/B from ONE W0
+        pass via the W1 = W0' reciprocity identity
+        (cavi._data_mean_cross_terms); histories must still track the
+        exact (f32) diagnostics to bf16 data-quantization error."""
         model = TemporalAMEModel(n_nodes=14, n_time=6, latent_dim=2,
                                  rho_dyadic=0.5, seed=5)
         Y, _ = model.generate_data(return_latents=True)
@@ -1278,3 +1279,168 @@ class TestNaNCodedMissing:
         res = fit_em(Ynan, params, n_em=3, mask=mask)
         assert np.isfinite(res.history["elbo"]).all()
         assert np.isfinite(res.history["sigma2"][-1])
+
+
+class TestPackedMask:
+    """Int8 packed-mask contractions (tame.ops.masked_contract): masked
+    fits read the 0/1 observation mask at 1 byte/entry through a Pallas
+    kernel instead of streaming it as bf16/f32 — the lever that closes
+    the masked-vs-dense per-iteration gap at scale.  Forced on (CPU
+    interpret mode) via TAME_PACKED_MASK=1."""
+
+    def _setup(self, n=12, T=4, r=2, seed=3):
+        model = TemporalAMEModel(n_nodes=n, n_time=T, latent_dim=r,
+                                 seed=seed)
+        Y, _ = model.generate_data(return_latents=True)
+        from tame.models import random_dyad_mask
+
+        mask = random_dyad_mask(jax.random.PRNGKey(5), n, T, 0.35)
+        init = cavi.init_state(jax.random.PRNGKey(0), n, T, 2 + 2 * r,
+                               "full", 0.1, 0.5)
+        return model, jnp.asarray(Y), mask, init
+
+    def test_kernel_matches_einsum(self):
+        from tame.ops.masked_contract import (
+            pack_mask,
+            packed_rows_contract,
+        )
+
+        rng = np.random.default_rng(0)
+        n, T, K, nb = 20, 3, 5, 4
+        mask = jnp.asarray((rng.random((n, n, T)) > 0.4)
+                           .astype(np.float32))
+        mask = mask * (1 - jnp.eye(n)[:, :, None])
+        Z = jnp.asarray(rng.normal(size=(n, T, K)).astype(np.float32))
+        pm = pack_mask(mask, nb)
+        bs = n // nb
+        got = jnp.concatenate(
+            [packed_rows_contract(pm[k], Z, interpret=True)[:bs]
+             for k in range(nb)], 0)
+        Zb = Z.astype(jnp.bfloat16).astype(jnp.float32)
+        ref = jnp.einsum("ijt,jtk->itk", mask, Zb)
+        assert np.allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("update_mode", ["jacobi", "block"])
+    def test_packed_fit_matches_dense(self, update_mode, monkeypatch):
+        """Packed-mask fits track the dense-mask fits within bf16
+        feature quantization (the kernel's panels are bf16)."""
+        model, Y, mask, init = self._setup()
+        kw = dict(structure="full", update_mode=update_mode, max_iter=15,
+                  learning_rate=0.6, tolerance=0.0, mask=mask,
+                  corrected=True, diag_mode="stats")
+        if update_mode == "block":
+            kw["num_blocks"] = 4
+        monkeypatch.setenv("TAME_PACKED_MASK", "0")
+        a = cavi.fit_cavi(Y, model.params, init, **kw)
+        monkeypatch.setenv("TAME_PACKED_MASK", "1")
+        b = cavi.fit_cavi(Y, model.params, init, **kw)
+        assert np.max(np.abs(np.asarray(a.X_mean)
+                             - np.asarray(b.X_mean))) < 2e-2
+        ea = np.asarray(a.elbo_history)[:15]
+        eb = np.asarray(b.elbo_history)[:15]
+        assert np.max(np.abs((ea - eb) / ea)) < 1e-2
+
+    @pytest.mark.slow
+    def test_packed_smoothed_converges_to_same_fixed_point(self,
+                                                           monkeypatch):
+        """The smoothed family amplifies per-step float noise
+        pre-convergence (cf. the fused-kernel test), so the meaningful
+        packed-vs-dense check is the converged fixed point."""
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed,
+            init_smoothed_state,
+        )
+
+        model, Y, mask, _ = self._setup()
+        sinit = init_smoothed_state(jax.random.PRNGKey(1), 12, 4, 6, 0.1)
+        kw = dict(max_iter=200, tolerance=0.0, mask=mask)
+        monkeypatch.setenv("TAME_PACKED_MASK", "0")
+        a = fit_cavi_smoothed(Y, model.params, sinit, **kw)
+        monkeypatch.setenv("TAME_PACKED_MASK", "1")
+        b = fit_cavi_smoothed(Y, model.params, sinit, **kw)
+        assert np.max(np.abs(np.asarray(a.state.X_mean)
+                             - np.asarray(b.state.X_mean))) < 5e-2
+        ea = float(np.asarray(a.elbo_history)[199])
+        eb = float(np.asarray(b.elbo_history)[199])
+        assert abs(ea - eb) / abs(ea) < 1e-3
+
+    def test_packed_never_reads_masked_entries(self, monkeypatch):
+        """Garbage in hidden dyads must not change one bit of the packed
+        fit (the mask packing reads the MASK, never Y)."""
+        model, Y, mask, init = self._setup()
+        monkeypatch.setenv("TAME_PACKED_MASK", "1")
+        Yg = jnp.where(mask[..., None] == 0, 1e6, Y)
+        kw = dict(structure="full", update_mode="jacobi", max_iter=10,
+                  learning_rate=0.6, tolerance=0.0, mask=mask)
+        a = cavi.fit_cavi(Y, model.params, init, **kw)
+        b = cavi.fit_cavi(Yg, model.params, init, **kw)
+        assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
+
+
+class TestSmoothedBlockUpdate:
+    """Block Gauss-Seidel smoothed updates (smoothed_step_block): stable
+    at lr ~ 1 where the simultaneous update oscillates at scale; same
+    basin as jacobi on small problems (identified quantities agree)."""
+
+    def _problem(self, n=12, T=5, r=2, seed=4):
+        model = TemporalAMEModel(n_nodes=n, n_time=T, latent_dim=r,
+                                 seed=seed)
+        Y, _ = model.generate_data(return_latents=True)
+        from tame.inference.smoothed import init_smoothed_state
+
+        init = init_smoothed_state(jax.random.PRNGKey(0), n, T,
+                                   2 + 2 * r, 0.1)
+        return model, jnp.asarray(Y), init
+
+    @pytest.mark.slow
+    def test_block_matches_jacobi_identified(self):
+        from tame.inference.smoothed import fit_cavi_smoothed
+        from tame.ops import dyad as dyad_ops
+
+        model, Y, init = self._problem()
+        a = fit_cavi_smoothed(Y, model.params, init, max_iter=300,
+                              tolerance=0.0, update_mode="jacobi")
+        b = fit_cavi_smoothed(Y, model.params, init, max_iter=300,
+                              tolerance=0.0, update_mode="block",
+                              num_blocks=4)
+        ea = float(np.asarray(a.elbo_history)[299])
+        eb = float(np.asarray(b.elbo_history)[299])
+        # block is at least as good an ascent (same family, fresher
+        # coordinates per sweep)
+        assert eb >= ea - 2.0
+        mua = np.asarray(dyad_ops.dyadic_fwd_temporal(a.state.X_mean, 2))
+        mub = np.asarray(dyad_ops.dyadic_fwd_temporal(b.state.X_mean, 2))
+        off = ~np.eye(12, dtype=bool)
+        assert np.max(np.abs(mua[off] - mub[off])) < 0.1
+        ma = float(np.asarray(a.mse_history)[299])
+        mb = float(np.asarray(b.mse_history)[299])
+        assert abs(ma - mb) / ma < 0.02
+
+    def test_block_lr1_converges(self):
+        """lr = 1 block updates are exact coordinate ascent — they must
+        converge (the tolerance rule fires) and improve the ELBO
+        monotonically up to the plug-in likelihood's caveats."""
+        from tame.inference.smoothed import fit_cavi_smoothed
+
+        model, Y, init = self._problem()
+        out = fit_cavi_smoothed(Y, model.params, init, max_iter=300,
+                                tolerance=1e-5, learning_rate=1.0,
+                                update_mode="block", num_blocks=4)
+        assert bool(out.converged)
+        eh = np.asarray(out.elbo_history)[:int(out.n_iter)]
+        assert np.isfinite(eh).all()
+        # monotone after the first few iterations
+        assert np.all(np.diff(eh[5:]) > -1e-2)
+
+    def test_masked_block(self):
+        from tame.inference.smoothed import fit_cavi_smoothed
+        from tame.models import random_dyad_mask
+
+        model, Y, init = self._problem()
+        mask = random_dyad_mask(jax.random.PRNGKey(2), 12, 5, 0.3)
+        out = fit_cavi_smoothed(Y, model.params, init, max_iter=60,
+                                tolerance=0.0, update_mode="block",
+                                num_blocks=4, mask=mask,
+                                diag_mode="stats")
+        assert np.isfinite(np.asarray(out.elbo_history)[:60]).all()
