@@ -23,7 +23,7 @@ cfg0 = ModelConfig(n_nodes=2000, n_time=50, latent_dim=4, seed=0,
                    dyadic_variance=1.0)
 t0 = time.perf_counter()
 res = fit_em(Y, build_params(cfg0), n_em=10, inner_max_iter=60,
-             verbose=True)
+             mixed_precision=True, diag_mode="stats", verbose=True)
 wall = time.perf_counter() - t0
 h = res.history
 print(f"fit_em n=2000: {len(h['elbo'])} EM iterations in {wall:.1f}s "

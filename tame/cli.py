@@ -83,8 +83,13 @@ def _cmd_fit(args) -> int:
     elif args.method == "smoothed":
         from tame.inference import TemporalAMESmoothedVI
 
+        if args.update_mode == "seq":
+            print("--update-mode seq is a CAVI reference-parity mode; "
+                  "the smoothed engine supports block or jacobi.")
+            return 1
         vi = TemporalAMESmoothedVI(model, learning_rate=args.lr,
                                    seed=args.seed, init_mode=args.init,
+                                   update_mode=args.update_mode,
                                    mask=mask)
     else:
         vi = TemporalAMEStructuredMFVI(

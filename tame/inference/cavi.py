@@ -1306,11 +1306,11 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
     packed_mask = False
     if mask is not None:
         env = os.environ.get("TAME_PACKED_MASK")
-        if env == "1":
-            packed_mask = True
-        elif env != "0":
-            packed_mask = (mixed_precision
-                           and jax.default_backend() != "cpu")
+        # Opt-in only: measured SLOWER than the bf16 einsum path at
+        # n=2000 (40 vs 13 ms/iter — per-call panel re-padding and
+        # layout transposes outweigh the int8 byte saving; see
+        # tame/ops/masked_contract.py notes).
+        packed_mask = env == "1"
     return _fit_cavi_impl(Y, params, init, jnp.asarray(max_iter),
                           jnp.asarray(learning_rate, Y.dtype),
                           jnp.asarray(tolerance, Y.dtype),

@@ -280,6 +280,8 @@ def fit_em(Y: Array, params0: AMEParams, *,
            learn: Sequence[str] = LEARNABLE,
            phi_structure: str = "scalar",
            r_structure: str = "exchangeable",
+           mixed_precision: bool = False,
+           diag_mode: str = "exact",
            mask: Optional[Array] = None,
            init: Optional[SmoothedState] = None,
            init_mode: str = "warm",
@@ -300,6 +302,9 @@ def fit_em(Y: Array, params0: AMEParams, *,
     final ELBO regresses markedly, the damping is halved and that EM
     iteration retried (up to 3 times) — a partial-E-step EM is only
     monotone when the inner solver actually improves its objective.
+
+    ``mixed_precision``/``diag_mode`` are forwarded to the E-step
+    (``fit_cavi_smoothed``) — the production fast path at scale.
 
     ``phi_structure``/``r_structure`` select the M-step parameterization
     (see :func:`em_update_params`): ``phi_structure="blocks"`` learns
@@ -364,7 +369,9 @@ def fit_em(Y: Array, params0: AMEParams, *,
                                     max_iter=inner_max_iter,
                                     learning_rate=lr,
                                     tolerance=inner_tolerance,
-                                    corrected=True, mask=mask)
+                                    corrected=True,
+                                    mixed_precision=mixed_precision,
+                                    diag_mode=diag_mode, mask=mask)
             e = float(np.asarray(out.elbo_history)[int(out.n_iter) - 1])
             # An E-step that blew up or regressed hard signals the inner
             # solver oscillating at this damping; retry softer.

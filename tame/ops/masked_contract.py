@@ -20,6 +20,18 @@ nothing.
 
 No reference counterpart (complete networks only,
 ``naive_mf.py:324-374``).
+
+**Measured negative result (2026-08-21, n=2000/T=50/r=4):** this kernel
+ran at ~40 ms/iter against ~13 ms for the bf16-einsum mask path — the
+int8 byte saving is outweighed by per-call overheads (the feature panel
+is re-padded to the (T, n_pad, Kp) kernel layout on every invocation,
+the output transposes back, and full-mask diagnostics issue one kernel
+call per block stripe).  Since consolidating the masked statistics into
+ONE concatenated-panel einsum already brought masked fits to ~1.1x the
+dense per-iteration cost, the kernel is OPT-IN only
+(``TAME_PACKED_MASK=1``); making it win requires keeping the panel in
+kernel layout across the whole iteration, i.e. moving the masked update
+itself into Pallas.
 """
 
 from __future__ import annotations

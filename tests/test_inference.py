@@ -204,6 +204,7 @@ class TestFitBehavior:
 
 
 class TestJacobiVsSeq:
+    @pytest.mark.slow
     def test_fixed_points_agree(self):
         """Jacobi (batched) and Gauss-Seidel (reference order) must reach the
         same fixed point on a well-damped problem."""
@@ -484,6 +485,7 @@ class TestSmoothedEngine:
         assert np.array_equal(np.asarray(a.X_cross),
                               np.asarray(d.X_cross))
 
+    @pytest.mark.slow
     def test_smoothed_stats_and_mixed_precision(self):
         """The production fast path for the smoothed family: stats
         diagnostics match the exact pass; bf16 weights track f32 MSE."""
@@ -911,6 +913,7 @@ class TestMaskedFit:
                                "full", 0.1, 0.5)
         return model, jnp.asarray(Y), init
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("update_mode", ["jacobi", "block"])
     def test_full_mask_matches_unmasked(self, update_mode):
         model, Y, init = self._setup()
@@ -989,6 +992,7 @@ class TestMaskedFit:
             cavi.fit_cavi(Y, model.params, init, update_mode="seq",
                           mask=mask)
 
+    @pytest.mark.slow
     @pytest.mark.parametrize("update_mode", ["jacobi", "block"])
     def test_masked_stats_matches_exact(self, update_mode):
         """diag_mode='stats' under a mask (the masked sufficient-
@@ -1047,6 +1051,7 @@ class TestMaskedFit:
         assert np.isfinite(mb)
         assert abs(mb - ma) / ma < 0.05
 
+    @pytest.mark.slow
     def test_masked_warm_init_unbiased(self):
         """Masked warm init must normalize by observed counts: at heavy
         missingness the additive-effect init must NOT shrink toward zero
@@ -1365,6 +1370,7 @@ class TestPackedMask:
         eb = float(np.asarray(b.elbo_history)[199])
         assert abs(ea - eb) / abs(ea) < 1e-3
 
+    @pytest.mark.slow
     def test_packed_never_reads_masked_entries(self, monkeypatch):
         """Garbage in hidden dyads must not change one bit of the packed
         fit (the mask packing reads the MASK, never Y)."""

@@ -117,6 +117,7 @@ class TestHMC:
         accept = np.asarray(out.accept_prob).mean()
         assert 0.4 < accept <= 1.0  # dual averaging targeted 0.8
 
+    @pytest.mark.slow
     def test_posterior_mean_matches_cavi(self, tiny):
         """North-star config 4: HMC posterior means validate the SMF means
         within loose MC error — compared in dyadic-mean space, which is the

@@ -159,3 +159,57 @@ class TestBlockTridiagSmoother:
         out = jax.vmap(lambda Di, bi: block_tridiag_smoother(Di, O, bi))(D, b)
         assert out.mean.shape == (5, 4, 3)
         assert np.all(np.isfinite(np.asarray(out.mean)))
+
+
+class TestParallelSmoother:
+    """Time-parallel exact smoother (tame.ops.ptridiag): the
+    conditional-Gaussian associative-scan formulation must match the
+    sequential block-tridiagonal solver to float32 tolerance — including
+    at long T and in the weak-information/high-phi regime where the
+    earlier transfer-matrix attempt failed (tridiag.py module notes)."""
+
+    def _compare(self, T, d=6, phi=0.8, pscale=0.5, seed=0):
+        from tame.ops.ptridiag import parallel_block_tridiag_smoother
+        from tame.ops.tridiag import block_tridiag_smoother
+
+        key = jax.random.PRNGKey(seed)
+        k1, k2 = jax.random.split(key)
+        A = jax.random.normal(k1, (T, d, d)) * pscale
+        Pobs = (jnp.einsum("tij,tkj->tik", A, A)
+                + max(2 * pscale, 1e-3) * jnp.eye(d))
+        eta = jax.random.normal(k2, (T, d))
+        Phi = phi * jnp.eye(d)
+        Q = (1 - phi ** 2) * 0.1 * (jnp.eye(d) + 0.2 * jnp.ones((d, d)))
+        Sigma0 = jnp.eye(d) * 0.7 + 0.1
+        Q_inv = jnp.linalg.inv(Q)
+        S0_inv = jnp.linalg.inv(Sigma0)
+        PQP = Phi.T @ Q_inv @ Phi
+        t = jnp.arange(T)
+        D = (Pobs + (t == 0)[:, None, None] * S0_inv
+             + (t > 0)[:, None, None] * Q_inv
+             + (t < T - 1)[:, None, None] * PQP)
+        ref = block_tridiag_smoother(D, -Phi.T @ Q_inv, eta)
+        got = parallel_block_tridiag_smoother(Pobs, eta, Phi, Q, Sigma0)
+        assert np.allclose(np.asarray(ref.mean), np.asarray(got.mean),
+                           atol=5e-4)
+        assert np.allclose(np.asarray(ref.cov), np.asarray(got.cov),
+                           atol=5e-4)
+        if T > 1:
+            assert np.allclose(np.asarray(ref.cross_cov),
+                               np.asarray(got.cross_cov), atol=5e-4)
+        assert abs(float(ref.logdet) - float(got.logdet)) \
+            / abs(float(ref.logdet)) < 1e-4
+
+    @pytest.mark.slow
+    @pytest.mark.parametrize("T", [1, 2, 3, 8, 64])
+    def test_matches_sequential(self, T):
+        self._compare(T)
+
+    @pytest.mark.slow
+    def test_matches_sequential_T512(self):
+        self._compare(512)
+
+    @pytest.mark.slow
+    def test_weak_information_high_phi(self):
+        """The regime that killed the transfer-matrix formulation."""
+        self._compare(512, phi=0.97, pscale=0.05, seed=1)

@@ -280,6 +280,7 @@ class TestDistributedHelpers:
         assert results[2]["wall_s"] > 0
 
     @requires_8
+    @pytest.mark.slow
     def test_measure_weak_scaling(self):
         from tame.models import sample
         from tame.parallel import measure_weak_scaling
