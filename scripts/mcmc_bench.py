@@ -45,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--k-scalars", type=int, default=64,
                     help="number of dyad-mean coordinates tracked for "
                          "R-hat/ESS")
+    ap.add_argument("--chains-per-dispatch", type=int, default=8,
+                    help="chains per device dispatch (one 64-chain "
+                         "program reproducibly crashed the TPU worker; "
+                         "smaller dispatches with on-device reduction "
+                         "are equivalent — chains are independent)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="MCMC_BENCH.json")
     args = ap.parse_args(argv)
@@ -67,11 +72,16 @@ def main(argv=None):
     print(f"data ready: n={n} T={T} r={r} d={cfg.d} "
           f"({n * T * cfg.d} latent dims/chain, {C} chains)", flush=True)
 
-    # -- SMF reference fit (Good SMF, production path) ---------------------
+    # -- SMF reference fit: corrected=True (the EXACT coordinate update)
+    # so the moment comparison is SMF-vs-NUTS on the SAME posterior; the
+    # default parity mode reproduces the reference's biased natural
+    # parameter, whose fixed point is a different distribution than the
+    # one NUTS samples.
     init = cavi.init_state(jax.random.fold_in(key, 1), n, T, cfg.d,
                            "full", 0.1, 0.5)
     fit = cavi.fit_cavi(Y, params, init, structure="full",
                         update_mode="block", max_iter=512,
+                        corrected=True,
                         learning_rate=0.8, tolerance=1e-5)
     fit = jax.block_until_ready(fit)
     print(f"SMF fit: {int(fit.n_iter)} iters, converged="
@@ -96,36 +106,52 @@ def main(argv=None):
     tt = rng.integers(0, T, size=len(ii))
     ii, jj, tt = (jnp.asarray(ii), jnp.asarray(jj), jnp.asarray(tt))
 
-    @jax.jit
-    def postprocess(positions):
-        """(C, S, n, T, d) -> (C, S, K) identified dyad-mean traces."""
-        def per_sample(X):
-            a, b, U, V = dyad_ops.split_state(X, r)
-            # mu_ij = a_i + b_j + U_i . V_j at the tracked coordinates
-            return (a[ii, tt] + b[jj, tt]
-                    + jnp.sum(U[ii, tt] * V[jj, tt], axis=-1))
-        return jax.vmap(jax.vmap(per_sample))(positions)
-
     run = lambda p, k: run_nuts(  # noqa: E731
         ld, p, k, num_warmup=args.warmup, num_samples=args.samples,
         max_depth=args.max_depth, inv_mass=inv_mass,
         logdensity_args=(Y,))
 
-    print("compiling + warmup ...", flush=True)
-    t0 = time.perf_counter()
-    out = jax.vmap(run)(inits, keys)
-    np.asarray(postprocess(out.positions)[:, -1])  # host-fetch barrier
-    wall = time.perf_counter() - t0
-    del out  # free the (C, S, n, T, d) stack before the timed run
-    print(f"total wall (compile + warmup + sample): {wall:.1f}s", flush=True)
+    @jax.jit
+    def run_batch(inits_b, keys_b):
+        """One dispatch: a chain batch sampled AND reduced on device —
+        only the (B, S, K) identified dyad-mean traces, per-draw log
+        densities and accept stats leave the program (the full position
+        stack never crosses the tunnel)."""
+        out = jax.vmap(run)(inits_b, keys_b)
 
-    # timed second run with fresh keys: steady-state sampling throughput
+        def per_sample(X):
+            a, b, U, V = dyad_ops.split_state(X, r)
+            # mu_ij = a_i + b_j + U_i . V_j at the tracked coordinates
+            return (a[ii, tt] + b[jj, tt]
+                    + jnp.sum(U[ii, tt] * V[jj, tt], axis=-1))
+        scal = jax.vmap(jax.vmap(per_sample))(out.positions)
+        return scal, out.logdensities, out.accept_prob
+
+    B = args.chains_per_dispatch
+
+    def sweep(all_keys):
+        scal, logp, acc = [], [], []
+        for s0 in range(0, C, B):
+            sc, lp, ac = run_batch(inits[s0:s0 + B],
+                                   all_keys[s0:s0 + B])
+            scal.append(np.asarray(sc))
+            logp.append(np.asarray(lp))
+            acc.append(np.asarray(ac))
+        return (np.concatenate(scal), np.concatenate(logp),
+                np.concatenate(acc))
+
+    print(f"compiling + warmup ({C} chains in dispatches of {B}) ...",
+          flush=True)
+    t0 = time.perf_counter()
+    sweep(keys)
+    wall = time.perf_counter() - t0
+    print(f"total wall (compile + warmup + sample): {wall:.1f}s",
+          flush=True)
+
+    # timed second sweep with fresh keys: steady-state throughput
     keys2 = jax.random.split(jax.random.fold_in(key, 3), C)
     t0 = time.perf_counter()
-    out2 = jax.vmap(run)(inits, keys2)
-    scal2 = postprocess(out2.positions)
-    scal2_h = np.asarray(scal2)
-    logp2_h = np.asarray(out2.logdensities)
+    scal2_h, logp2_h, acc2_h = sweep(keys2)
     wall2 = time.perf_counter() - t0
 
     # -- diagnostics (host) ------------------------------------------------
@@ -153,7 +179,8 @@ def main(argv=None):
                    "backend": jax.default_backend()},
         "wall_s_cold": round(wall, 1),
         "wall_s_warm": round(wall2, 1),
-        "accept_mean": float(np.asarray(out2.accept_prob).mean()),
+        "chains_per_dispatch": B,
+        "accept_mean": float(acc2_h.mean()),
         "total_draws": int(C * args.samples),
         "split_rhat_max": float(rhat.max()),
         "split_rhat_median": float(np.median(rhat)),

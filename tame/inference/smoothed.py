@@ -422,10 +422,14 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
     not in play: ``"sequential"`` is the O(T)-depth scan
     (``tame.ops.tridiag``), ``"parallel"`` the O(log T)-depth
     associative-scan smoother (``tame.ops.ptridiag``, Särkkä &
-    García-Fernández 2021) — exact to float32 tolerance; ``"auto"``
-    picks parallel once T >= 128 (below that the sequential depth is
-    microseconds and the parallel variant's ~log T extra FLOPs don't
-    pay).
+    García-Fernández 2021) — exact to float32 tolerance.  ``"auto"``
+    resolves to sequential: measured on TPU (scripts/ptridiag_bench.py,
+    2026-08-21), the vmapped scan stays throughput-bound — ~190 ms for
+    65k node-steps regardless of the (n, T) split up to T = 1024 —
+    while the parallel variant's combine constants (batched solves +
+    layout churn at d ~ 10) cost 6-11x; it never crosses over at
+    practical shapes.  ``"parallel"`` remains available for
+    latency-bound regimes (tiny n, very long T, CPU).
 
     ``mixed_precision``/``diag_mode`` select the same production fast
     path as ``cavi.fit_cavi``: bf16 dyad-weight (and mask) storage with
@@ -481,8 +485,7 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
         raise ValueError(f"fused smoother unsupported for n={n}, T={T}, "
                          f"d={d} (needs T >= 2, d <= 12, VMEM-sized tile)")
     if smoother == "auto":
-        smoother = ("parallel" if T >= 128 and not fused
-                    else "sequential")
+        smoother = "sequential"  # measured: see docstring
     if smoother == "parallel":
         fused = False  # mutually exclusive solver choices
     if update_mode == "auto":
