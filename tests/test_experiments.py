@@ -203,6 +203,17 @@ class TestCLI:
         assert rc == 0
         assert "HMC" in capsys.readouterr().out
 
+    @pytest.mark.slow
+    def test_sample_family_subcommand(self, capsys):
+        from tame.cli import main
+
+        rc = main(["sample", "--sampler", "smc", "--family", "poisson",
+                   "--n-nodes", "6", "--n-time", "2", "--latent-dim",
+                   "1", "--num-particles", "16", "--num-stages", "3"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "family='poisson'" in out and "SMC" in out
+
     def test_unknown_command_fails(self):
         from tame.cli import main
 
