@@ -25,6 +25,10 @@ from tame.inference.logprob import (
 )
 from tame.inference.nuts import TemporalAMENUTS, nuts_kernel, run_nuts
 from tame.inference.smc import TemporalAMESMC, run_smc
+from tame.inference.binary_cavi import (
+    TemporalAMEBernoulliVI,
+    fit_cavi_bernoulli,
+)
 from tame.inference.em import EMResult, em_update_params, fit_em
 from tame.inference.smoothed import (
     TemporalAMESmoothedVI,
@@ -47,7 +51,9 @@ __all__ = [
     "TemporalAMEStructuredMFVI",
     "TemporalAMEHMC",
     "TemporalAMENUTS",
+    "TemporalAMEBernoulliVI",
     "TemporalAMESmoothedVI",
+    "fit_cavi_bernoulli",
     "fit_cavi_smoothed",
     "warm_init_smoothed_state",
     "fit_em",

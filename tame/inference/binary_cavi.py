@@ -1,0 +1,316 @@
+"""CAVI for BINARY dynamic networks via the Jaakkola-Jordan bound.
+
+The Gaussian engine's closed-form coordinate updates are the Gaussian
+conjugacy; binary ties ``y_ij ~ Bernoulli(sigmoid(m_ij))`` with the
+bilinear predictor ``m_ij = a_i + b_j + U_i . V_j`` have no conjugate
+update — the reference has nothing for binary data at all, and until
+this module the framework supported it sampler-only
+(``tame.models.likelihoods.BernoulliDyadic`` + NUTS/SMC).
+
+The Jaakkola & Jordan (2000) bound makes each Bernoulli term quadratic:
+
+    log sigmoid(z) >= z/2 - lam(xi) z^2 + kappa(xi),
+    log p(y|m) = y m - log(1 + e^m)
+              >= (y - 1/2) m - lam(xi) m^2 + xi/2 - log(1 + e^xi)
+                 + lam(xi) xi^2
+
+with ``lam(xi) = tanh(xi/2) / (4 xi)`` and a per-dyad variational
+parameter ``xi_ij^t``, tight at ``xi^2 = E_q[m^2]`` (its own closed-form
+update).  Under the bound every dyad contributes a GAUSSIAN-shaped term
+with per-dyad precision ``2 lam_ij`` — so the whole CAVI machinery
+applies with the constant dyad weights replaced by iteration-dependent
+weighted contractions:
+
+    node i's observation precision (sender side, from m_ij):
+        blocks over [a, U]:  counts -> sum_j 2 lam_ij,
+        sums -> (2 lam @ V)_i,  Grams -> (2 lam @ VV-panel)_i
+    receiver side (from m_ji): the transposed contractions over [b, V].
+    The two directions touch DISJOINT coordinate blocks of x_i (a, U vs
+    b, V) — binary directions are conditionally independent, the
+    rho = 0 structure of the Gaussian engine.
+
+    natural parameter: (y - 1/2) minus the bound's partner-offset pull
+    ``2 lam * offset`` (the exact analog of the Gaussian engine's
+    ``corrected=True`` offsets).
+
+Because ``lam`` changes every iteration, the per-iteration cost is
+genuinely O(n^2 T r) (three observation-sized tensor contractions + the
+xi update) — there is no constant-weight precompute as in the Gaussian
+case.  Missing data: an ``(n, n, T)`` mask zeroes hidden dyads in every
+sum (masked entries of Y are never read).
+
+The objective reported per iteration is the BOUND (a true ELBO lower
+bound): JJ likelihood terms + the shared AR(1) prior expectations +
+Gaussian entropy (``cavi.state_prior_terms`` / ``cavi.gaussian_entropy``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from tame.inference import cavi
+from tame.models.params import AMEParams
+from tame.ops import dyad as dyad_ops
+from tame.ops.cholesky import batched_spd_solve_inv
+from tame.ops.dyad import HIGHEST
+
+
+class BernoulliFitResult(NamedTuple):
+    X_mean: Array        # (n, T, d)
+    X_cov: Array         # (n, T, d, d)
+    elbo_history: Array  # (buf,) the JJ bound value (NaN past stopping)
+    accuracy_history: Array  # (buf,) plug-in tie-prediction accuracy
+    n_iter: Array
+    converged: Array
+    diverged: Array
+
+
+def _lam(xi: Array) -> Array:
+    """Jaakkola-Jordan lambda(xi) = tanh(xi/2)/(4 xi), lambda(0) = 1/8."""
+    safe = jnp.maximum(jnp.abs(xi), 1e-6)
+    return jnp.tanh(safe / 2.0) / (4.0 * safe)
+
+
+def _predictor_moments(state: cavi.CaviState, r: int):
+    """Plug-in predictor ``m_ij`` (n, n, T) and its posterior variance
+    under the mean-field factors (the exact bilinear formula, including
+    the second-order ``tr(S_i[UU] S_j[VV])`` term)."""
+    mu, S = state.X_mean, state.X_cov
+    n, T, d = mu.shape
+    a, b, U, V = dyad_ops.split_state(mu, r)
+    m = dyad_ops.dyadic_fwd_temporal(mu, r)                  # (n, n, T)
+
+    A = S[..., 0, 0]                                         # (n, T)
+    Ar = S[..., 1, 1]
+    B = S[..., 0, 2:2 + r]                                   # (n, T, r)
+    Br = S[..., 1, 2 + r:]
+    C = S[..., 2:2 + r, 2:2 + r]                             # (n, T, r, r)
+    Cr = S[..., 2 + r:, 2 + r:]
+    hi = HIGHEST
+    # var(m_ij) = var_i([1, V_j] block) + var_j([1, U_i] block)
+    #             + tr(C_i Cr_j)
+    var = (A[:, None] + Ar[None]
+           + 2.0 * jnp.einsum("itr,jtr->ijt", B, V, precision=hi)
+           + jnp.einsum("jtr,itrs,jts->ijt", V, C, V, precision=hi)
+           + 2.0 * jnp.einsum("jtr,itr->ijt", Br, U, precision=hi)
+           + jnp.einsum("itr,jtrs,its->ijt", U, Cr, U, precision=hi)
+           + jnp.einsum("itrs,jtrs->ijt",
+                        C, jnp.swapaxes(Cr, -1, -2), precision=hi))
+    return m, var
+
+
+def _contract(L: Array, Z: Array) -> Array:
+    """einsum("ijt,jtk->itk") with f32 accumulation."""
+    return jnp.einsum("ijt,jtk->itk", L, Z,
+                      preferred_element_type=jnp.float32, precision=HIGHEST)
+
+
+def bernoulli_step(state: cavi.CaviState, y0: Array, offd: Array,
+                   pri: cavi.PriorMatrices, params: AMEParams,
+                   lr: Array) -> tuple:
+    """One simultaneous (Jacobi) JJ-bound coordinate update.
+
+    ``y0``: (n, n, T) binary directed adjacency (y0[i, j] = tie i -> j),
+    pre-zeroed at the diagonal and at masked entries; ``offd`` the
+    off-diagonal/observation gate.  Returns ``(new_state, bound,
+    accuracy)`` — the bound and plug-in accuracy are evaluated at the
+    INCOMING state's xi-optimal bound (free by-products of the update's
+    moment computation).
+    """
+    n, T, d = state.X_mean.shape
+    r = (d - 2) // 2
+    a, b, U, V = dyad_ops.split_state(state.X_mean, r)
+
+    # -- xi update (closed form: xi^2 = E[m^2]) + bound value -------------
+    m, var = _predictor_moments(state, r)
+    Em2 = m * m + var
+    xi = jnp.sqrt(jnp.maximum(Em2, 1e-12))
+    lam = _lam(xi) * offd                                    # (n, n, T)
+
+    resid = (y0 - 0.5) * offd
+    bound = jnp.sum(offd * (resid * m - lam * Em2 + xi / 2.0
+                            - jax.nn.softplus(xi) + lam * xi * xi))
+    prior0, priort = cavi.state_prior_terms(params, pri, state)
+    bound = bound + prior0 + priort + cavi.gaussian_entropy(state)
+    acc = (jnp.sum(offd * ((m > 0) == (y0 > 0.5)))
+           / jnp.maximum(jnp.sum(offd), 1.0))
+
+    # -- weighted observation precision -----------------------------------
+    L = 2.0 * lam
+    VV = (V[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
+    UU = (U[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
+    # sender side: one L pass over [1 | V | VV]
+    Cs = _contract(L, jnp.concatenate(
+        [jnp.ones((n, T, 1)), V, VV], axis=-1))
+    # receiver side: one L' pass over [1 | U | UU]
+    Lt = jnp.swapaxes(L, 0, 1)
+    Cr_ = _contract(Lt, jnp.concatenate(
+        [jnp.ones((n, T, 1)), U, UU], axis=-1))
+
+    P = jnp.zeros((n, T, d, d))
+    P = P.at[..., 0, 0].set(Cs[..., 0])
+    P = P.at[..., 1, 1].set(Cr_[..., 0])
+    sLV = Cs[..., 1:1 + r]
+    P = P.at[..., 0, 2:2 + r].set(sLV).at[..., 2:2 + r, 0].set(sLV)
+    sLU = Cr_[..., 1:1 + r]
+    P = P.at[..., 1, 2 + r:].set(sLU).at[..., 2 + r:, 1].set(sLU)
+    P = P.at[..., 2:2 + r, 2:2 + r].set(
+        Cs[..., 1 + r:].reshape(n, T, r, r))
+    P = P.at[..., 2 + r:, 2 + r:].set(
+        Cr_[..., 1 + r:].reshape(n, T, r, r))
+    P = P + cavi._prior_precision(pri, T)[None]
+
+    # -- natural parameter -------------------------------------------------
+    # sender coeff s_ij = (y_ij - 1/2) - 2 lam_ij * offset_j, offset = b_j
+    S_ = resid - L * b[None, :, :]
+    # receiver coeff (for node j from pair (i, j)): offset = a_i
+    W_ = resid - L * a[:, None, :]
+    eta = jnp.concatenate([
+        S_.sum(1)[..., None],                               # eta_a
+        W_.sum(0)[..., None],                               # eta_b
+        _contract(S_, V),                                   # eta_U
+        _contract(jnp.swapaxes(W_, 0, 1), U),               # eta_V
+    ], axis=-1)
+    eta = eta + cavi._prior_nat_param(pri, state.X_mean)
+
+    mu_new, cov_raw = batched_spd_solve_inv(P, eta)
+    cov_new = cavi._finalize_cov(cov_raw)
+    mu_new = jnp.matmul(cov_new, eta[..., None],
+                        precision=HIGHEST)[..., 0]
+    X_mean = lr * mu_new + (1.0 - lr) * state.X_mean
+    X_cov = lr * cov_new + (1.0 - lr) * state.X_cov
+    return cavi.CaviState(X_mean=X_mean, X_cov=X_cov), bound, acc
+
+
+def fit_cavi_bernoulli(Y: Array, params: AMEParams,
+                       init: cavi.CaviState, *,
+                       max_iter: int = 200, learning_rate=0.8,
+                       tolerance=1e-5, patience: int = 3,
+                       mask: Optional[Array] = None
+                       ) -> BernoulliFitResult:
+    """Fit the JJ-bound CAVI to a binary network inside one compiled
+    loop (tolerance/patience stopping on the bound, cf.
+    ``cavi.fit_cavi``).
+
+    ``Y``: the (n, n, T, 2) reciprocal layout produced by
+    ``sample(..., family="bernoulli")`` /
+    ``tame.models.likelihoods.BernoulliDyadic`` (only component 0 — the
+    full ordered adjacency — is read).  ``mask``: optional (n, n, T)
+    observation gate (missing dyads are never read).
+    """
+    buf = 64
+    while buf < max_iter:
+        buf *= 2
+    return _fit_bernoulli_impl(Y, params, init, jnp.asarray(max_iter),
+                               jnp.asarray(learning_rate, jnp.float32),
+                               jnp.asarray(tolerance, jnp.float32),
+                               buf_size=buf, patience=patience,
+                               mask=mask)
+
+
+@functools.partial(jax.jit, static_argnames=("buf_size", "patience"))
+def _fit_bernoulli_impl(Y, params, init, max_iter, lr, tol, *,
+                        buf_size: int, patience: int,
+                        mask=None) -> BernoulliFitResult:
+    n, _, T, _ = Y.shape
+    offd = jnp.broadcast_to(dyad_ops.offdiag_mask(n)[:, :, None],
+                            (n, n, T))
+    if mask is not None:
+        offd = offd * jnp.asarray(mask, jnp.float32)
+    # where (not multiplication): NaN-coded missing entries stay unread
+    y0 = jnp.where(offd > 0, Y[..., 0], 0.0)
+    pri = cavi.precompute_priors(params)
+
+    def cond(carry):
+        state, it, prev, pat, conv, div, eh, ah = carry
+        running = jnp.logical_not(jnp.logical_or(conv, div))
+        return jnp.logical_and(it < max_iter, running)
+
+    def body(carry):
+        state, it, prev, pat, conv, div, eh, ah = carry
+        state, bound, acc = bernoulli_step(state, y0, offd, pri, params,
+                                           lr)
+        eh = eh.at[it].set(bound)
+        ah = ah.at[it].set(acc)
+        rel = jnp.abs(bound - prev) / (jnp.abs(prev) + 1e-8)
+        small = jnp.logical_and(jnp.isfinite(prev), rel < tol)
+        pat = jnp.where(small, pat + 1, 0)
+        conv = pat >= patience
+        div = jnp.logical_not(jnp.isfinite(bound))
+        return state, it + 1, bound, pat, conv, div, eh, ah
+
+    nanbuf = jnp.full((buf_size,), jnp.nan, jnp.float32)
+    carry = (init, jnp.asarray(0), jnp.asarray(-jnp.inf, jnp.float32),
+             jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
+             nanbuf, nanbuf)
+    state, it, _, _, conv, div, eh, ah = jax.lax.while_loop(cond, body,
+                                                            carry)
+    return BernoulliFitResult(X_mean=state.X_mean, X_cov=state.X_cov,
+                              elbo_history=eh, accuracy_history=ah,
+                              n_iter=it, converged=conv, diverged=div)
+
+
+class TemporalAMEBernoulliVI:
+    """Engine class for binary dynamic networks (JJ-bound CAVI); same
+    surface feel as the Gaussian engines.  ``model.Y`` must hold binary
+    data in the reciprocal layout (e.g. from
+    ``sample_observations(..., family="bernoulli")``)."""
+
+    structure = "bernoulli"
+
+    def __init__(self, model, learning_rate: float = 0.8,
+                 init_scale: float = 0.1, seed: int = 42, mask=None):
+        if model.Y is None:
+            raise ValueError(
+                "Model has no data. Call model.generate_data() first.")
+        self.model = model
+        self.Y = jnp.asarray(model.Y)
+        self.n, self.T, self.d, self.r = (model.n, model.T, model.d,
+                                          model.r)
+        self.lr = learning_rate
+        self.seed = seed
+        self.mask = None if mask is None else jnp.asarray(mask)
+        self.params = model.params
+        self.history = {"elbo": [], "accuracy": []}
+        st = cavi.init_state(jax.random.PRNGKey(seed), self.n, self.T,
+                             self.d, "full", init_scale, 0.5)
+        self.X_mean = st.X_mean
+        self.X_cov = st.X_cov
+
+    def fit(self, max_iter: int = 200, tolerance: float = 1e-5,
+            verbose: bool = True, check_every: int = 10):
+        import numpy as np
+
+        out = jax.block_until_ready(fit_cavi_bernoulli(
+            self.Y, self.params,
+            cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
+            max_iter=max_iter, learning_rate=self.lr,
+            tolerance=tolerance, mask=self.mask))
+        self.X_mean, self.X_cov = out.X_mean, out.X_cov
+        k = int(out.n_iter)
+        eh = np.asarray(out.elbo_history)[:k]
+        ah = np.asarray(out.accuracy_history)[:k]
+        self.history["elbo"].extend(float(v) for v in eh)
+        self.history["accuracy"].extend(float(v) for v in ah)
+        if verbose:
+            for it in range(k):
+                if it % check_every == 0 or it == k - 1:
+                    print(f"Iter {it:4d} | bound: {eh[it]:10.2f} | "
+                          f"acc: {ah[it]:.4f}")
+        return self.history
+
+    def predict_proba(self) -> Array:
+        """Posterior plug-in tie probabilities (n, n, T)."""
+        m = dyad_ops.dyadic_fwd_temporal(self.X_mean, self.r)
+        return jax.nn.sigmoid(m)
+
+    def get_variational_means(self) -> Array:
+        return self.X_mean
+
+    def get_variational_covariances(self) -> Array:
+        return self.X_cov

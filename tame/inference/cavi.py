@@ -665,6 +665,43 @@ def compute_elbo(Y: Array, params: AMEParams, pri: PriorMatrices,
                            mask_stats=mask_stats)
 
 
+def state_prior_terms(params: AMEParams, pri: PriorMatrices,
+                      state: CaviState) -> Tuple[Array, Array]:
+    """Expected initial-state and transition log-prior terms of the
+    ELBO, ``(prior0, priort)`` — shared by the Gaussian and the
+    bound-based (binary) engines; see :func:`_elbo_from_quad`."""
+    n, T, d = state.X_mean.shape
+    mu0 = state.X_mean[:, 0]
+    quad0 = jnp.einsum("ia,ab,ib->i", mu0, pri.Sigma0_inv, mu0,
+                       preferred_element_type=jnp.float32, precision=HIGHEST)
+    trace0 = jnp.einsum("ab,iba->i", pri.Sigma0_inv, state.X_cov[:, 0],
+                        preferred_element_type=jnp.float32, precision=HIGHEST)
+    prior0 = -0.5 * jnp.sum(quad0 + trace0
+                            + pri.logdet_Sigma0 + d * _LOG2PI)
+
+    if T > 1:
+        residt = state.X_mean[:, 1:] - jnp.matmul(
+            state.X_mean[:, :-1], params.Phi.T, precision=HIGHEST)
+        quadt = jnp.einsum("ita,ab,itb->it", residt, pri.Q_inv, residt,
+                           preferred_element_type=jnp.float32,
+                           precision=HIGHEST)
+        tracet = jnp.einsum("ab,itba->it", pri.Q_inv, state.X_cov[:, 1:],
+                            preferred_element_type=jnp.float32,
+                            precision=HIGHEST)
+        priort = -0.5 * jnp.sum(quadt + tracet
+                                + pri.logdet_Q + d * _LOG2PI)
+    else:
+        priort = jnp.asarray(0.0, state.X_mean.dtype)
+    return prior0, priort
+
+
+def gaussian_entropy(state: CaviState) -> Array:
+    """Entropy of the per-(node, time) Gaussian factors."""
+    d = state.X_mean.shape[-1]
+    logdets = batched_logdet_spd(state.X_cov)                  # (n, T)
+    return 0.5 * jnp.sum(logdets + d * (1.0 + _LOG2PI))
+
+
 def _elbo_from_quad(quad_sum: Array, params: AMEParams, pri: PriorMatrices,
                     state: CaviState, structure: str,
                     mask_stats=None) -> Array:
@@ -692,26 +729,7 @@ def _elbo_from_quad(quad_sum: Array, params: AMEParams, pri: PriorMatrices,
         corr = 0.1 * jnp.trace(params.R_inv) / d * wsum
         log_lik = log_lik - 0.5 * corr
 
-    # -- initial-state prior ----------------------------------------------
-    mu0 = state.X_mean[:, 0]
-    quad0 = jnp.einsum("ia,ab,ib->i", mu0, pri.Sigma0_inv, mu0,
-                       preferred_element_type=jnp.float32, precision=HIGHEST)
-    trace0 = jnp.einsum("ab,iba->i", pri.Sigma0_inv, state.X_cov[:, 0],
-                        preferred_element_type=jnp.float32, precision=HIGHEST)
-    prior0 = -0.5 * jnp.sum(quad0 + trace0
-                            + pri.logdet_Sigma0 + d * _LOG2PI)
-
-    # -- transition priors -------------------------------------------------
-    if T > 1:
-        residt = state.X_mean[:, 1:] - jnp.matmul(state.X_mean[:, :-1], params.Phi.T, precision=HIGHEST)
-        quadt = jnp.einsum("ita,ab,itb->it", residt, pri.Q_inv, residt,
-                           preferred_element_type=jnp.float32, precision=HIGHEST)
-        tracet = jnp.einsum("ab,itba->it", pri.Q_inv, state.X_cov[:, 1:],
-                            preferred_element_type=jnp.float32, precision=HIGHEST)
-        priort = -0.5 * jnp.sum(quadt + tracet
-                                + pri.logdet_Q + d * _LOG2PI)
-    else:
-        priort = jnp.asarray(0.0, state.X_mean.dtype)
+    prior0, priort = state_prior_terms(params, pri, state)
 
     # -- entropy -----------------------------------------------------------
     logdets = batched_logdet_spd(state.X_cov)                      # (n, T)
