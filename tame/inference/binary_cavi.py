@@ -56,7 +56,6 @@ from jax import Array
 from tame.inference import cavi
 from tame.models.params import AMEParams
 from tame.ops import dyad as dyad_ops
-from tame.ops.cholesky import batched_spd_solve_inv
 from tame.ops.dyad import HIGHEST
 
 
@@ -178,10 +177,7 @@ def bernoulli_step(state: cavi.CaviState, y0: Array, offd: Array,
     ], axis=-1)
     eta = eta + cavi._prior_nat_param(pri, state.X_mean)
 
-    mu_new, cov_raw = batched_spd_solve_inv(P, eta)
-    cov_new = cavi._finalize_cov(cov_raw)
-    mu_new = jnp.matmul(cov_new, eta[..., None],
-                        precision=HIGHEST)[..., 0]
+    mu_new, cov_new = cavi._solve_full(P, eta)
     X_mean = lr * mu_new + (1.0 - lr) * state.X_mean
     X_cov = lr * cov_new + (1.0 - lr) * state.X_cov
     return cavi.CaviState(X_mean=X_mean, X_cov=X_cov), bound, acc

@@ -349,8 +349,6 @@ def _obs_precision(U: Array, V: Array, R_inv: Array) -> Array:
     P_obs : (n, T, d, d)
     """
     n, T, r = U.shape
-    d = 2 + 2 * r
-    p, q = R_inv[0, 0], R_inv[0, 1]
     c = jnp.asarray(n - 1, U.dtype)
 
     # Global sums over j, then subtract node i's own contribution.
@@ -365,25 +363,7 @@ def _obs_precision(U: Array, V: Array, R_inv: Array) -> Array:
     GVU = jnp.einsum("jtk,jtl->tkl", V, U,
                      preferred_element_type=jnp.float32, precision=HIGHEST)[None] \
         - V[..., :, None] * U[..., None, :]
-
-    P = jnp.zeros((n, T, d, d), U.dtype)
-    P = P.at[..., 0, 0].set(p * c)
-    P = P.at[..., 1, 1].set(p * c)
-    P = P.at[..., 0, 1].set(q * c)
-    P = P.at[..., 1, 0].set(q * c)
-    P = P.at[..., 0, 2:2 + r].set(p * sV)
-    P = P.at[..., 2:2 + r, 0].set(p * sV)
-    P = P.at[..., 0, 2 + r:].set(q * sU)
-    P = P.at[..., 2 + r:, 0].set(q * sU)
-    P = P.at[..., 1, 2:2 + r].set(q * sV)
-    P = P.at[..., 2:2 + r, 1].set(q * sV)
-    P = P.at[..., 1, 2 + r:].set(p * sU)
-    P = P.at[..., 2 + r:, 1].set(p * sU)
-    P = P.at[..., 2:2 + r, 2:2 + r].set(p * GVV)
-    P = P.at[..., 2 + r:, 2 + r:].set(p * GUU)
-    P = P.at[..., 2:2 + r, 2 + r:].set(q * GVU)
-    P = P.at[..., 2 + r:, 2:2 + r].set(q * jnp.swapaxes(GVU, -1, -2))
-    return P
+    return _P_from_partner_stats(c, sU, sV, GUU, GVV, GVU, R_inv)
 
 
 class PackedMask(NamedTuple):
@@ -418,6 +398,25 @@ def _mask_contract(mask, Z: Array) -> Array:
     return _eta_contract(mask, Z)
 
 
+def make_block_mask_contract(Mr, bs: int):
+    """Closure contracting block b's mask rows against a feature panel
+    (``(bs, T, K)``): int8 kernel stripe when ``Mr`` is a
+    :class:`PackedMask`, dense einsum slice otherwise.  Shared by the
+    CAVI and smoothed block steps."""
+    def contract(b, Z):
+        if isinstance(Mr, PackedMask):
+            from tame.ops.masked_contract import packed_rows_contract
+
+            stripe = jax.lax.dynamic_index_in_dim(Mr.blocks, b, 0,
+                                                  keepdims=False)
+            return packed_rows_contract(
+                stripe, Z,
+                interpret=jax.default_backend() == "cpu")[:bs]
+        Mb = jax.lax.dynamic_index_in_dim(Mr, b, 0, keepdims=False)
+        return _eta_contract(Mb, Z)
+    return contract
+
+
 def _masked_panel(U: Array, V: Array) -> Array:
     """The (n, T, 1 + 2r + 3r^2) feature panel whose masked partner sums
     assemble the observation precision: ones (counts), U, V, and the
@@ -433,22 +432,18 @@ def _masked_panel(U: Array, V: Array) -> Array:
     return jnp.concatenate([ones, U, V, UU, VV, VU], axis=-1)
 
 
-def _masked_P_from_C(C: Array, R_inv: Array, r: int) -> Array:
-    """Assemble the masked observation precision from the contracted
-    panel ``C = mask @ _masked_panel(U, V)``; see
-    :func:`_masked_obs_precision`."""
+def _P_from_partner_stats(cnt, sU, sV, GUU, GVV, GVU,
+                          R_inv: Array) -> Array:
+    """Assemble the observation precision from partner statistics
+    (counts, partner sums, partner Grams) — the ONE place the d x d slot
+    layout lives.  Shared by the dense global-stats paths
+    (:func:`_obs_precision`, the block steps) and the masked panel path
+    (:func:`_masked_P_from_C`); ``cnt`` may be a scalar (complete
+    network: n - 1) or per-(row, time)."""
+    m, T, r = sU.shape
     d = 2 + 2 * r
     p, q = R_inv[0, 0], R_inv[0, 1]
-    m, T = C.shape[:2]
-    cnt = C[..., 0]                                          # (m, T)
-    sU = C[..., 1:1 + r]                                     # (m, T, r)
-    sV = C[..., 1 + r:1 + 2 * r]
-    o = 1 + 2 * r
-    GUU = C[..., o:o + r * r].reshape(m, T, r, r)
-    GVV = C[..., o + r * r:o + 2 * r * r].reshape(m, T, r, r)
-    GVU = C[..., o + 2 * r * r:].reshape(m, T, r, r)
-
-    P = jnp.zeros((m, T, d, d), C.dtype)
+    P = jnp.zeros((m, T, d, d), sU.dtype)
     P = P.at[..., 0, 0].set(p * cnt).at[..., 1, 1].set(p * cnt)
     P = P.at[..., 0, 1].set(q * cnt).at[..., 1, 0].set(q * cnt)
     P = P.at[..., 0, 2:2 + r].set(p * sV).at[..., 2:2 + r, 0].set(p * sV)
@@ -460,6 +455,21 @@ def _masked_P_from_C(C: Array, R_inv: Array, r: int) -> Array:
     P = P.at[..., 2:2 + r, 2 + r:].set(q * GVU)
     P = P.at[..., 2 + r:, 2:2 + r].set(q * jnp.swapaxes(GVU, -1, -2))
     return P
+
+
+def _masked_P_from_C(C: Array, R_inv: Array, r: int) -> Array:
+    """Assemble the masked observation precision from the contracted
+    panel ``C = mask @ _masked_panel(U, V)``; see
+    :func:`_masked_obs_precision`."""
+    m, T = C.shape[:2]
+    cnt = C[..., 0]                                          # (m, T)
+    sU = C[..., 1:1 + r]                                     # (m, T, r)
+    sV = C[..., 1 + r:1 + 2 * r]
+    o = 1 + 2 * r
+    GUU = C[..., o:o + r * r].reshape(m, T, r, r)
+    GVV = C[..., o + r * r:o + 2 * r * r].reshape(m, T, r, r)
+    GVU = C[..., o + 2 * r * r:].reshape(m, T, r, r)
+    return _P_from_partner_stats(cnt, sU, sV, GUU, GVV, GVU, R_inv)
 
 
 def _masked_obs_precision(Mr, U: Array, V: Array, R_inv: Array) -> Array:
@@ -818,19 +828,7 @@ def cavi_step_block(state: CaviState, obs: ObsConstants,
     else:
         Mr = mask.reshape(num_blocks, bs, n, T)
 
-    def block_mask_contract(b, Z):
-        """Masked partner contraction of block b's mask rows (bs, T, K);
-        int8 kernel stripe when packed, dense einsum slice otherwise."""
-        if isinstance(Mr, PackedMask):
-            from tame.ops.masked_contract import packed_rows_contract
-
-            stripe = jax.lax.dynamic_index_in_dim(Mr.blocks, b, 0,
-                                                  keepdims=False)
-            return packed_rows_contract(
-                stripe, Z,
-                interpret=jax.default_backend() == "cpu")[:bs]
-        Mb = jax.lax.dynamic_index_in_dim(Mr, b, 0, keepdims=False)
-        return _eta_contract(Mb, Z)
+    block_mask_contract = make_block_mask_contract(Mr, bs)
 
     def update_block(b, carry):
         X_mean, X_cov = carry
@@ -862,19 +860,8 @@ def cavi_step_block(state: CaviState, obs: ObsConstants,
             GUU = GUU_all[None] - Ub[..., :, None] * Ub[..., None, :]
             GVV = GVV_all[None] - Vb[..., :, None] * Vb[..., None, :]
             GVU = GVU_all[None] - Vb[..., :, None] * Ub[..., None, :]
-
-            P = jnp.zeros((bs, T, d, d), X_mean.dtype)
-            P = P.at[..., 0, 0].set(p * c).at[..., 1, 1].set(p * c)
-            P = P.at[..., 0, 1].set(q * c).at[..., 1, 0].set(q * c)
-            P = P.at[..., 0, 2:2 + r].set(p * sV).at[..., 2:2 + r, 0].set(p * sV)
-            P = P.at[..., 0, 2 + r:].set(q * sU).at[..., 2 + r:, 0].set(q * sU)
-            P = P.at[..., 1, 2:2 + r].set(q * sV).at[..., 2:2 + r, 1].set(q * sV)
-            P = P.at[..., 1, 2 + r:].set(p * sU).at[..., 2 + r:, 1].set(p * sU)
-            P = P.at[..., 2:2 + r, 2:2 + r].set(p * GVV)
-            P = P.at[..., 2 + r:, 2 + r:].set(p * GUU)
-            P = P.at[..., 2:2 + r, 2 + r:].set(q * GVU)
-            P = P.at[..., 2 + r:, 2:2 + r].set(q * jnp.swapaxes(GVU, -1, -2))
-            P = P + prior_P
+            P = _P_from_partner_stats(c, sU, sV, GUU, GVV, GVU,
+                                      params.R_inv) + prior_P
 
         W0b = jax.lax.dynamic_index_in_dim(W0r, b, 0, keepdims=False)
         W1b = jax.lax.dynamic_index_in_dim(W1r, b, 0, keepdims=False)
@@ -953,17 +940,8 @@ def cavi_step_seq(state: CaviState, obs: ObsConstants, pri: PriorMatrices,
         GVU = jnp.einsum("jtk,jtl->tkl", V, U, precision=HIGHEST) - Vi[:, :, None] * Ui[:, None, :]
 
         c = jnp.asarray(n - 1, X_mean.dtype)
-        P = jnp.zeros((T, d, d), X_mean.dtype)
-        P = P.at[:, 0, 0].set(p * c).at[:, 1, 1].set(p * c)
-        P = P.at[:, 0, 1].set(q * c).at[:, 1, 0].set(q * c)
-        P = P.at[:, 0, 2:2 + r].set(p * sV).at[:, 2:2 + r, 0].set(p * sV)
-        P = P.at[:, 0, 2 + r:].set(q * sU).at[:, 2 + r:, 0].set(q * sU)
-        P = P.at[:, 1, 2:2 + r].set(q * sV).at[:, 2:2 + r, 1].set(q * sV)
-        P = P.at[:, 1, 2 + r:].set(p * sU).at[:, 2 + r:, 1].set(p * sU)
-        P = P.at[:, 2:2 + r, 2:2 + r].set(p * GVV)
-        P = P.at[:, 2 + r:, 2 + r:].set(p * GUU)
-        P = P.at[:, 2:2 + r, 2 + r:].set(q * GVU)
-        P = P.at[:, 2 + r:, 2:2 + r].set(q * jnp.swapaxes(GVU, -1, -2))
+        P = _P_from_partner_stats(c, sU[None], sV[None], GUU[None],
+                                  GVV[None], GVU[None], params.R_inv)[0]
         P = P + prior_P
 
         etaU = jnp.einsum("jt,jtr->tr", obs.W0[i], V, precision=HIGHEST)
@@ -1317,10 +1295,10 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
                              diverged=out.diverged,
                              last_elbo=out.last_elbo,
                              pat_count=out.pat_count)
-    # Int8 packed-mask contractions (tame.ops.masked_contract): on by
-    # default for mixed-precision masked fits on accelerator backends
-    # (the Pallas kernel is interpret-only on CPU — too slow for real
-    # fits, but TAME_PACKED_MASK=1 forces it for tests; =0 disables).
+    # Int8 packed-mask contractions (tame.ops.masked_contract):
+    # OPT-IN via TAME_PACKED_MASK=1 only — measured slower than the
+    # consolidated bf16 einsum path (see the module's negative-result
+    # note).
     packed_mask = False
     if mask is not None:
         env = os.environ.get("TAME_PACKED_MASK")

@@ -190,17 +190,7 @@ def smoothed_step_block(state: SmoothedState, obs: cavi.ObsConstants,
     else:
         Mr = mask.reshape(num_blocks, bs, n, T)
 
-    def block_mask_contract(b, Z):
-        if isinstance(Mr, cavi.PackedMask):
-            from tame.ops.masked_contract import packed_rows_contract
-
-            stripe = jax.lax.dynamic_index_in_dim(Mr.blocks, b, 0,
-                                                  keepdims=False)
-            return packed_rows_contract(
-                stripe, Z,
-                interpret=jax.default_backend() == "cpu")[:bs]
-        Mb = jax.lax.dynamic_index_in_dim(Mr, b, 0, keepdims=False)
-        return cavi._eta_contract(Mb, Z)
+    block_mask_contract = cavi.make_block_mask_contract(Mr, bs)
 
     def update_block(b, carry):
         X_mean, X_cov, X_cross, logdets = carry
@@ -228,22 +218,8 @@ def smoothed_step_block(state: SmoothedState, obs: cavi.ObsConstants,
                              preferred_element_type=jnp.float32,
                              precision=HIGHEST)[None] \
                 - Vb[..., :, None] * Ub[..., None, :]
-            D_obs = jnp.zeros((bs, T, d, d), X_mean.dtype)
-            D_obs = D_obs.at[..., 0, 0].set(p * c).at[..., 1, 1].set(p * c)
-            D_obs = D_obs.at[..., 0, 1].set(q * c).at[..., 1, 0].set(q * c)
-            D_obs = D_obs.at[..., 0, 2:2 + r].set(p * sV) \
-                         .at[..., 2:2 + r, 0].set(p * sV)
-            D_obs = D_obs.at[..., 0, 2 + r:].set(q * sU) \
-                         .at[..., 2 + r:, 0].set(q * sU)
-            D_obs = D_obs.at[..., 1, 2:2 + r].set(q * sV) \
-                         .at[..., 2:2 + r, 1].set(q * sV)
-            D_obs = D_obs.at[..., 1, 2 + r:].set(p * sU) \
-                         .at[..., 2 + r:, 1].set(p * sU)
-            D_obs = D_obs.at[..., 2:2 + r, 2:2 + r].set(p * GVV)
-            D_obs = D_obs.at[..., 2 + r:, 2 + r:].set(p * GUU)
-            D_obs = D_obs.at[..., 2:2 + r, 2 + r:].set(q * GVU)
-            D_obs = D_obs.at[..., 2 + r:, 2:2 + r].set(
-                q * jnp.swapaxes(GVU, -1, -2))
+            D_obs = cavi._P_from_partner_stats(
+                c, sU, sV, GUU, GVV, GVU, params.R_inv)
 
         W0b = jax.lax.dynamic_index_in_dim(W0r, b, 0, keepdims=False)
         W1b = jax.lax.dynamic_index_in_dim(W1r, b, 0, keepdims=False)
@@ -548,7 +524,8 @@ def _fit_smoothed_impl(Y, params, init, max_iter, lr, tol,
         if packed_mask:
             from tame.ops.masked_contract import pack_mask
 
-            mask_c = cavi.PackedMask(blocks=pack_mask(mask, 1))
+            nb = num_blocks if update_mode == "block" else 1
+            mask_c = cavi.PackedMask(blocks=pack_mask(mask, nb))
         elif mixed_precision:
             mask_c = mask.astype(jnp.bfloat16)
     obs = cavi.precompute_obs_constants(

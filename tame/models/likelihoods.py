@@ -10,10 +10,12 @@ predictor
     mu_ij^t = a_i + b_j + U_i . V_j,
 
 and the probabilistic-programming surface (``tame.inference.logprob``,
-HMC/NUTS/SMC) accepts any declared family.  The CAVI engines remain
-Gaussian-only — their closed-form coordinate updates ARE the Gaussian
-conjugacy (``tame/inference/cavi.py``); non-Gaussian dyads go through the
-samplers (or a future bound-based VI).
+HMC/NUTS/SMC) accepts any declared family.  The Gaussian CAVI engines
+remain Gaussian-only — their closed-form coordinate updates ARE the
+Gaussian conjugacy (``tame/inference/cavi.py``); binary ties have a
+dedicated bound-based VI engine
+(``tame.inference.binary_cavi.TemporalAMEBernoulliVI``) and Poisson
+counts go through the samplers.
 
 Families ship with:
 
@@ -90,7 +92,13 @@ class _IndependentDirections:
 
     def log_prob(self, params: AMEParams, Y: Array, mu: Array,
                  mask: Array) -> Array:
-        lp = self._entry_log_prob(Y[..., 0], mu[..., 0])
+        # Sanitize INPUTS at gated entries (never multiply a possibly
+        # non-finite term by the mask): a diagonal/self predictor can
+        # overflow exp() to -inf, and -inf * 0 = NaN would poison the
+        # whole log-density AND its gradient (0 cotangent x inf = NaN).
+        y = jnp.where(mask > 0, Y[..., 0], 0.0)
+        m = jnp.where(mask > 0, mu[..., 0], 0.0)
+        lp = self._entry_log_prob(y, m)
         return jnp.sum(lp * mask)
 
     def sample(self, key: Array, params: AMEParams, mu: Array) -> Array:

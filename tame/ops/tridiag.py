@@ -36,8 +36,8 @@ systems), and renormalization cannot fix a conditioning failure.  The
 numerically sound O(log T)-depth formulation — the conditional-Gaussian
 element parametrization of Särkkä & García-Fernández (2021) — is
 implemented in :mod:`tame.ops.ptridiag` and validated against this
-solver to float32 tolerance at T up to 512; ``fit_cavi_smoothed``
-auto-selects it once T >= 128.
+solver to float32 tolerance at T up to 512; measured on TPU it stays
+opt-in (``smoother="parallel"``) — see the ptridiag module notes.
 """
 
 from __future__ import annotations

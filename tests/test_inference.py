@@ -1384,6 +1384,24 @@ class TestPackedMask:
         assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
 
 
+    def test_packed_smoothed_block_mode(self, monkeypatch):
+        """Regression: packed masks must be packed with the BLOCK count
+        when the smoothed fit uses block updates (was packed with 1
+        block and raised at trace time)."""
+        from tame.inference.smoothed import (
+            fit_cavi_smoothed,
+            init_smoothed_state,
+        )
+
+        model, Y, mask, _ = self._setup(n=12, T=4)
+        sinit = init_smoothed_state(jax.random.PRNGKey(1), 12, 4, 6, 0.1)
+        monkeypatch.setenv("TAME_PACKED_MASK", "1")
+        out = fit_cavi_smoothed(Y, model.params, sinit, max_iter=5,
+                                tolerance=0.0, mask=mask,
+                                update_mode="block", num_blocks=4)
+        assert np.isfinite(np.asarray(out.elbo_history)[:5]).all()
+
+
 class TestSmoothedBlockUpdate:
     """Block Gauss-Seidel smoothed updates (smoothed_step_block): stable
     at lr ~ 1 where the simultaneous update oscillates at scale; same
@@ -1553,3 +1571,20 @@ class TestBernoulliCAVI:
         off = ~np.eye(12, dtype=bool)
         assert proba[off][y0[off] > 0.5].mean() \
             > proba[off][y0[off] < 0.5].mean() + 0.1
+
+
+def test_poisson_family_nan_diag_gating():
+    """Regression: a huge DIAGONAL predictor must not NaN the Poisson
+    log-density (gated entries are sanitized before exp overflows)."""
+    from tame.config import ModelConfig
+    from tame.inference.logprob import make_logdensity_fn
+    from tame.models import build_params, sample
+
+    cfg = ModelConfig(n_nodes=6, n_time=2, latent_dim=1, seed=0)
+    p = build_params(cfg)
+    Y, X = sample(p, jax.random.PRNGKey(0), 6, 2, family="poisson")
+    fn = make_logdensity_fn(p, Y, family="poisson")
+    # blow up the self inner products: huge U, V for one node
+    Xb = jnp.asarray(X).at[0, :, 2:].set(200.0)
+    val = fn(Xb)
+    assert not bool(jnp.isnan(val))
