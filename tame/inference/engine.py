@@ -50,7 +50,7 @@ class TemporalAMECaviVI:
                  update_mode: str = "block", num_blocks=None,
                  corrected: bool = False, mixed_precision: bool = False,
                  diag_mode: str = "exact", init_mode: str = "random",
-                 mask=None):
+                 elbo_every: int = 1, mask=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -71,6 +71,10 @@ class TemporalAMECaviVI:
         self.corrected = corrected
         self.mixed_precision = mixed_precision
         self.diag_mode = diag_mode
+        # Diagnostics cadence (reference: every iteration); k > 1 skips
+        # the ELBO/MSE pass between evaluations — history slots in
+        # between stay NaN (cavi.fit_cavi docstring).
+        self.elbo_every = elbo_every
         # Missing-data support (beyond the reference): (n, n, T) dyad
         # observation mask, threaded into every fit_cavi call.  See
         # cavi.fit_cavi / tame.models.random_dyad_mask.
@@ -198,7 +202,8 @@ class TemporalAMECaviVI:
                 max_iter=seg, learning_rate=self.lr, tolerance=tolerance,
                 num_blocks=self.num_blocks, corrected=self.corrected,
                 mixed_precision=self.mixed_precision,
-                diag_mode=self.diag_mode, mask=self.mask,
+                diag_mode=self.diag_mode, elbo_every=self.elbo_every,
+                mask=self.mask,
                 carry_elbo=self._carry_elbo, carry_patience=self._carry_pat)
             result = jax.block_until_ready(result)
 
@@ -418,13 +423,14 @@ class TemporalAMENaiveMFVI(TemporalAMECaviVI):
                  init_scale: float = 0.1, seed: int = 42,
                  update_mode: str = "block", corrected: bool = False,
                  mixed_precision: bool = False, diag_mode: str = "exact",
-                 init_mode: str = "random", mask=None):
+                 init_mode: str = "random", elbo_every: int = 1,
+                 mask=None):
         super().__init__(model, structure="diag",
                          learning_rate=learning_rate, init_scale=init_scale,
                          seed=seed, update_mode=update_mode,
                          corrected=corrected, mixed_precision=mixed_precision,
                          diag_mode=diag_mode, init_mode=init_mode,
-                         mask=mask)
+                         elbo_every=elbo_every, mask=mask)
 
 
 class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
@@ -441,7 +447,8 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
                  cov_init_scale: float = 0.5, seed: int = 42,
                  update_mode: str = "block", corrected: bool = False,
                  mixed_precision: bool = False, diag_mode: str = "exact",
-                 init_mode: str = "random", mask=None):
+                 init_mode: str = "random", elbo_every: int = 1,
+                 mask=None):
         if factorization not in ("good", "bad"):
             raise ValueError(f"Unknown factorization '{factorization}'")
         self.factorization = factorization
@@ -452,7 +459,7 @@ class TemporalAMEStructuredMFVI(TemporalAMECaviVI):
                          update_mode=update_mode, corrected=corrected,
                          mixed_precision=mixed_precision,
                          diag_mode=diag_mode, init_mode=init_mode,
-                         mask=mask)
+                         elbo_every=elbo_every, mask=mask)
 
     def get_factorization_type(self) -> str:
         return self.factorization
