@@ -13,7 +13,6 @@ explicit ``jax.random`` keys derived from ``seed``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 
 @dataclasses.dataclass(frozen=True)

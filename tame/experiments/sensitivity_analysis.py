@@ -19,7 +19,6 @@ import time
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tame.config import ModelConfig

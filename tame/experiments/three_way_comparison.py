@@ -9,7 +9,6 @@ pickle + JSON, and write the markdown report.
 
 from __future__ import annotations
 
-from typing import Optional
 
 from tame.experiments.utils import (
     generate_experiment_report,

@@ -42,7 +42,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from tame.inference import cavi
 from tame.inference.smoothed import (
     SmoothedState,
     fit_cavi_smoothed,

@@ -11,7 +11,6 @@ of n * T * n Python-loop iterations per step.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Optional
 
 import jax

@@ -33,7 +33,6 @@ import jax.numpy as jnp
 from jax import Array
 
 from tame.inference.hmc import (
-    DualAveragingState,
     HMCSamples,
     _da_init,
     _da_update,

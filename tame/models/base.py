@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from abc import ABC, abstractmethod
 
-import jax.numpy as jnp
 from jax import Array
 
 from tame.models.params import block_diagonal, correlation_matrix

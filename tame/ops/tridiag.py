@@ -42,7 +42,7 @@ opt-in (``smoother="parallel"``) — see the ptridiag module notes.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ import time
 from typing import Dict, Optional
 
 import jax
-import numpy as np
 
 from tame.parallel.mesh import make_mesh
 

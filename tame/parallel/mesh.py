@@ -19,7 +19,6 @@ All sharding is expressed through ``jax.sharding.NamedSharding`` +
 
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence
 
 import jax

@@ -9,7 +9,6 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
-import matplotlib
 import matplotlib.pyplot as plt
 import numpy as np
 from matplotlib.figure import Figure

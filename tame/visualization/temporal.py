@@ -13,7 +13,7 @@ import matplotlib.pyplot as plt
 import numpy as np
 from matplotlib.figure import Figure
 
-from tame.visualization.static import _finish, plot_network
+from tame.visualization.static import _finish
 
 
 def _state_label(k: int, r: int) -> str:
