@@ -260,7 +260,8 @@ class TemporalAMEBernoulliVI:
     structure = "bernoulli"
 
     def __init__(self, model, learning_rate: float = 0.8,
-                 init_scale: float = 0.1, seed: int = 42, mask=None):
+                 init_scale: float = 0.1, seed: int = 42,
+                 init_mode: str = "random", mask=None):
         if model.Y is None:
             raise ValueError(
                 "Model has no data. Call model.generate_data() first.")
@@ -273,8 +274,19 @@ class TemporalAMEBernoulliVI:
         self.mask = None if mask is None else jnp.asarray(mask)
         self.params = model.params
         self.history = {"elbo": [], "accuracy": []}
-        st = cavi.init_state(jax.random.PRNGKey(seed), self.n, self.T,
-                             self.d, "full", init_scale, 0.5)
+        if init_mode == "warm":
+            # Logit linearization sigmoid(m) ~ 1/2 + m/4 around 0 makes
+            # 4 (y - 1/2) pseudo-Gaussian observations of the predictor;
+            # the Gaussian closed-form warm start (two-way additive fit
+            # + top-r subspace) then lands the JJ fit inside the basin.
+            st = cavi.warm_init_state(4.0 * (self.Y - 0.5), self.params,
+                                      structure="full",
+                                      obs_mask=self.mask)
+        elif init_mode == "random":
+            st = cavi.init_state(jax.random.PRNGKey(seed), self.n,
+                                 self.T, self.d, "full", init_scale, 0.5)
+        else:
+            raise ValueError(f"unknown init_mode '{init_mode}'")
         self.X_mean = st.X_mean
         self.X_cov = st.X_cov
 

@@ -1553,6 +1553,25 @@ class TestBernoulliCAVI:
         b = fit_cavi_bernoulli(Yg, p, init, **kw)
         assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
 
+    def test_warm_init_beats_random(self):
+        """The logit-linearized warm start reaches a better bound
+        under the same budget."""
+        from tame.inference import TemporalAMEBernoulliVI
+        from tame.models import sample_observations
+
+        model = TemporalAMEModel(n_nodes=24, n_time=6, latent_dim=1,
+                                 seed=0)
+        model.generate_data(return_latents=True)
+        model.Y = np.asarray(sample_observations(
+            model.params, jax.random.PRNGKey(1), model.X,
+            family="bernoulli"))
+        w = TemporalAMEBernoulliVI(model, init_mode="warm")
+        hw = w.fit(max_iter=40, tolerance=0.0, verbose=False)
+        r = TemporalAMEBernoulliVI(model, init_mode="random")
+        hr = r.fit(max_iter=40, tolerance=0.0, verbose=False)
+        assert hw["elbo"][-1] >= hr["elbo"][-1] - 1.0
+        assert hw["elbo"][5] > hr["elbo"][5]
+
     def test_engine_class(self):
         from tame.inference import TemporalAMEBernoulliVI
         from tame.models import sample_observations
