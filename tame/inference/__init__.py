@@ -29,6 +29,10 @@ from tame.inference.binary_cavi import (
     TemporalAMEBernoulliVI,
     fit_cavi_bernoulli,
 )
+from tame.inference.poisson_cavi import (
+    TemporalAMEPoissonVI,
+    fit_cavi_poisson,
+)
 from tame.inference.em import EMResult, em_update_params, fit_em
 from tame.inference.smoothed import (
     TemporalAMESmoothedVI,
@@ -52,8 +56,10 @@ __all__ = [
     "TemporalAMEHMC",
     "TemporalAMENUTS",
     "TemporalAMEBernoulliVI",
+    "TemporalAMEPoissonVI",
     "TemporalAMESmoothedVI",
     "fit_cavi_bernoulli",
+    "fit_cavi_poisson",
     "fit_cavi_smoothed",
     "warm_init_smoothed_state",
     "fit_em",

@@ -1594,6 +1594,140 @@ class TestBernoulliCAVI:
             > proba[off][y0[off] < 0.5].mean() + 0.1
 
 
+class TestPoissonCVI:
+    """Conjugate-computation VI for count dynamic networks
+    (tame/inference/poisson_cavi.py): the exact-ELBO CVI engine for
+    Poisson dyads — the reference (and the Gaussian CAVI) has no
+    counterpart; the gold standard it is validated against is the NUTS
+    posterior on the same Poisson target."""
+
+    def _data(self, n=14, T=4, seed=2):
+        from tame.config import ModelConfig
+        from tame.models import build_params, sample
+
+        cfg = ModelConfig(n_nodes=n, n_time=T, latent_dim=1, seed=seed)
+        p = build_params(cfg)
+        Y, X = sample(p, jax.random.PRNGKey(seed), n, T,
+                      family="poisson")
+        init = cavi.init_state(jax.random.PRNGKey(1), n, T, 4, "full",
+                               0.1, 0.5)
+        return p, Y, X, init
+
+    def test_elbo_increases_and_recovers_truth(self):
+        from tame.inference import fit_cavi_poisson
+        from tame.ops import dyad as dyad_ops
+
+        p, Y, X, init = self._data(n=24, T=6, seed=0)
+        init = cavi.init_state(jax.random.PRNGKey(1), 24, 6, 4, "full",
+                               0.1, 0.5)
+        out = fit_cavi_poisson(Y, p, init, max_iter=150,
+                               learning_rate=0.7, tolerance=0.0)
+        eh = np.asarray(out.elbo_history)[:150]
+        assert np.isfinite(eh).all()
+        # the guarded loop never records a slack-violating regression,
+        # and this config accepts every step: monotone past transients
+        assert np.all(np.diff(eh[5:]) > -1e-2)
+        m_true = np.asarray(dyad_ops.dyadic_fwd_temporal(
+            jnp.asarray(X), 1))
+        m_est = np.asarray(dyad_ops.dyadic_fwd_temporal(out.X_mean, 1))
+        off = ~np.eye(24, dtype=bool)
+        corr = np.corrcoef(m_true[off].ravel(), m_est[off].ravel())[0, 1]
+        assert corr > 0.8, corr
+
+    def test_guard_rescues_jacobi_divergence(self):
+        """Seeds on which the UNGUARDED damped CVI iteration provably
+        diverges (measured: NaN by iteration ~5 at lr 0.7) must converge
+        under the guarded loop."""
+        from tame.inference import fit_cavi_poisson
+
+        p, Y, X, init = self._data(n=14, T=4, seed=2)
+        out = fit_cavi_poisson(Y, p, init, max_iter=300,
+                               learning_rate=0.7, tolerance=1e-6)
+        assert not bool(out.diverged)
+        assert bool(out.converged)
+        eh = np.asarray(out.elbo_history)[:int(out.n_iter)]
+        assert np.isfinite(eh).all()
+
+    @pytest.mark.slow
+    def test_matches_nuts_posterior(self):
+        """The variational log-rate surface must agree with the NUTS
+        posterior mean of the SAME Poisson target."""
+        from tame.inference import fit_cavi_poisson
+        from tame.inference.logprob import make_logdensity_fn
+        from tame.inference.nuts import run_nuts
+        from tame.ops import dyad as dyad_ops
+
+        p, Y, X, init = self._data()
+        vi = fit_cavi_poisson(Y, p, init, max_iter=300,
+                              learning_rate=0.7, tolerance=1e-5)
+        m_vi = np.asarray(dyad_ops.dyadic_fwd_temporal(vi.X_mean, 1))
+        fn = make_logdensity_fn(p, Y, family="poisson")
+        out = jax.vmap(lambda pos, k: run_nuts(
+            fn, pos, k, num_warmup=200, num_samples=200, max_depth=6))(
+            0.1 * jax.random.normal(jax.random.PRNGKey(3),
+                                    (2,) + X.shape),
+            jax.random.split(jax.random.PRNGKey(4), 2))
+        samples = jnp.asarray(out.positions).reshape((-1,) + X.shape)
+        m_nuts = np.asarray(jnp.mean(jax.vmap(
+            lambda Xs: dyad_ops.dyadic_fwd_temporal(Xs, 1))(samples), 0))
+        off = ~np.eye(14, dtype=bool)
+        corr = np.corrcoef(m_vi[off].ravel(), m_nuts[off].ravel())[0, 1]
+        assert corr > 0.95, corr
+
+    def test_masked_entries_never_read(self):
+        from tame.inference import fit_cavi_poisson
+        from tame.models import random_dyad_mask
+
+        p, Y, X, init = self._data()
+        mask = random_dyad_mask(jax.random.PRNGKey(5), 14, 4, 0.3)
+        Yg = jnp.where(mask[..., None] == 0, jnp.nan, Y)
+        kw = dict(max_iter=40, learning_rate=0.7, tolerance=0.0,
+                  mask=mask)
+        a = fit_cavi_poisson(Y, p, init, **kw)
+        b = fit_cavi_poisson(Yg, p, init, **kw)
+        assert np.array_equal(np.asarray(a.X_mean), np.asarray(b.X_mean))
+
+    def test_warm_init_beats_random(self):
+        """The log-link warm start reaches a better ELBO under the same
+        budget."""
+        from tame.inference import TemporalAMEPoissonVI
+        from tame.models import sample_observations
+
+        model = TemporalAMEModel(n_nodes=24, n_time=6, latent_dim=1,
+                                 seed=0)
+        model.generate_data(return_latents=True)
+        model.Y = np.asarray(sample_observations(
+            model.params, jax.random.PRNGKey(1), model.X,
+            family="poisson"))
+        w = TemporalAMEPoissonVI(model, init_mode="warm")
+        hw = w.fit(max_iter=40, tolerance=0.0, verbose=False)
+        r = TemporalAMEPoissonVI(model, init_mode="random")
+        hr = r.fit(max_iter=40, tolerance=0.0, verbose=False)
+        assert hw["elbo"][-1] >= hr["elbo"][-1] - 1.0
+        assert hw["elbo"][5] > hr["elbo"][5]
+
+    def test_engine_class(self):
+        from tame.inference import TemporalAMEPoissonVI
+        from tame.models import sample_observations
+
+        model = TemporalAMEModel(n_nodes=12, n_time=3, latent_dim=1,
+                                 seed=7)
+        model.generate_data(return_latents=True)
+        model.Y = np.asarray(sample_observations(
+            model.params, jax.random.PRNGKey(8), model.X,
+            family="poisson"))
+        vi = TemporalAMEPoissonVI(model)
+        h = vi.fit(max_iter=60, verbose=False)
+        assert np.isfinite(h["elbo"]).all()
+        rate = np.asarray(vi.predict_rate())
+        assert np.all(rate >= 0)
+        # posterior rates track the observed counts
+        y0 = np.asarray(model.Y)[..., 0]
+        off = ~np.eye(12, dtype=bool)
+        corr = np.corrcoef(rate[off].ravel(), y0[off].ravel())[0, 1]
+        assert corr > 0.5, corr
+
+
 def test_poisson_family_nan_diag_gating():
     """Regression: a huge DIAGONAL predictor must not NaN the Poisson
     log-density (gated entries are sanitized before exp overflows)."""
