@@ -34,6 +34,11 @@ from tame.inference.poisson_cavi import (
     fit_cavi_poisson,
 )
 from tame.inference.em import EMResult, em_update_params, fit_em
+from tame.inference.family_smoothed import (
+    SmoothedFamilyResult,
+    fit_smoothed_family,
+    warm_init_smoothed_family,
+)
 from tame.inference.smoothed import (
     TemporalAMESmoothedVI,
     fit_cavi_smoothed,
@@ -65,6 +70,9 @@ __all__ = [
     "fit_em",
     "em_update_params",
     "EMResult",
+    "SmoothedFamilyResult",
+    "fit_smoothed_family",
+    "warm_init_smoothed_family",
     "TemporalAMESMC",
     "run_nuts",
     "nuts_kernel",

@@ -109,6 +109,64 @@ def _contract(L: Array, Z: Array) -> Array:
                       preferred_element_type=jnp.float32, precision=HIGHEST)
 
 
+def weighted_obs_terms(mu: Array, r: int, w: Array,
+                       s: Array) -> tuple:
+    """Observation precision and natural parameter of a quadratic
+    pseudo-likelihood over directed dyads.
+
+    Every bound/surrogate-based engine (Jaakkola-Jordan Bernoulli, CVI
+    Poisson — mean-field or smoothed) reduces each directed dyad to
+    ``s_ij m_ij - (w_ij / 2) m_ij^2`` with per-dyad precision ``w`` and
+    linear coefficient ``s`` (both (n, n, T), pre-gated by the
+    observation mask).  Given the current means ``mu`` (n, T, d) this
+    assembles, per (node, time):
+
+    * ``P_obs``: sender-side contractions of ``w`` against
+      ``[1 | V_j | V_j V_j']`` filling the [a, U] blocks, receiver-side
+      transposed contractions against ``[1 | U_i | U_i U_i']`` filling
+      [b, V] (the two directions touch disjoint blocks — conditional
+      independence of directions, the rho = 0 structure);
+    * ``eta_obs``: ``s`` minus the pseudo-precision pull of the partner
+      offsets (``w b_j`` sender side / ``w a_i`` receiver side),
+      contracted against the partner factors.
+
+    Returns ``(P_obs, eta_obs)`` WITHOUT prior terms — the caller adds
+    its own (per-time precision for mean-field engines, the
+    block-tridiagonal chain for smoothed ones).
+    """
+    n, T, d = mu.shape
+    a, b, U, V = dyad_ops.split_state(mu, r)
+    VV = (V[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
+    UU = (U[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
+    Cs = _contract(w, jnp.concatenate(
+        [jnp.ones((n, T, 1)), V, VV], axis=-1))
+    wt = jnp.swapaxes(w, 0, 1)
+    Cr_ = _contract(wt, jnp.concatenate(
+        [jnp.ones((n, T, 1)), U, UU], axis=-1))
+
+    P = jnp.zeros((n, T, d, d))
+    P = P.at[..., 0, 0].set(Cs[..., 0])
+    P = P.at[..., 1, 1].set(Cr_[..., 0])
+    sWV = Cs[..., 1:1 + r]
+    P = P.at[..., 0, 2:2 + r].set(sWV).at[..., 2:2 + r, 0].set(sWV)
+    sWU = Cr_[..., 1:1 + r]
+    P = P.at[..., 1, 2 + r:].set(sWU).at[..., 2 + r:, 1].set(sWU)
+    P = P.at[..., 2:2 + r, 2:2 + r].set(
+        Cs[..., 1 + r:].reshape(n, T, r, r))
+    P = P.at[..., 2 + r:, 2 + r:].set(
+        Cr_[..., 1 + r:].reshape(n, T, r, r))
+
+    S_ = s - w * b[None, :, :]
+    W_ = s - w * a[:, None, :]
+    eta = jnp.concatenate([
+        S_.sum(1)[..., None],                               # eta_a
+        W_.sum(0)[..., None],                               # eta_b
+        _contract(S_, V),                                   # eta_U
+        _contract(jnp.swapaxes(W_, 0, 1), U),               # eta_V
+    ], axis=-1)
+    return P, eta
+
+
 def bernoulli_step(state: cavi.CaviState, y0: Array, offd: Array,
                    pri: cavi.PriorMatrices, params: AMEParams,
                    lr: Array) -> tuple:
@@ -123,7 +181,6 @@ def bernoulli_step(state: cavi.CaviState, y0: Array, offd: Array,
     """
     n, T, d = state.X_mean.shape
     r = (d - 2) // 2
-    a, b, U, V = dyad_ops.split_state(state.X_mean, r)
 
     # -- xi update (closed form: xi^2 = E[m^2]) + bound value -------------
     m, var = _predictor_moments(state, r)
@@ -139,42 +196,9 @@ def bernoulli_step(state: cavi.CaviState, y0: Array, offd: Array,
     acc = (jnp.sum(offd * ((m > 0) == (y0 > 0.5)))
            / jnp.maximum(jnp.sum(offd), 1.0))
 
-    # -- weighted observation precision -----------------------------------
-    L = 2.0 * lam
-    VV = (V[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
-    UU = (U[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
-    # sender side: one L pass over [1 | V | VV]
-    Cs = _contract(L, jnp.concatenate(
-        [jnp.ones((n, T, 1)), V, VV], axis=-1))
-    # receiver side: one L' pass over [1 | U | UU]
-    Lt = jnp.swapaxes(L, 0, 1)
-    Cr_ = _contract(Lt, jnp.concatenate(
-        [jnp.ones((n, T, 1)), U, UU], axis=-1))
-
-    P = jnp.zeros((n, T, d, d))
-    P = P.at[..., 0, 0].set(Cs[..., 0])
-    P = P.at[..., 1, 1].set(Cr_[..., 0])
-    sLV = Cs[..., 1:1 + r]
-    P = P.at[..., 0, 2:2 + r].set(sLV).at[..., 2:2 + r, 0].set(sLV)
-    sLU = Cr_[..., 1:1 + r]
-    P = P.at[..., 1, 2 + r:].set(sLU).at[..., 2 + r:, 1].set(sLU)
-    P = P.at[..., 2:2 + r, 2:2 + r].set(
-        Cs[..., 1 + r:].reshape(n, T, r, r))
-    P = P.at[..., 2 + r:, 2 + r:].set(
-        Cr_[..., 1 + r:].reshape(n, T, r, r))
+    # -- weighted observation terms (precision 2 lam, coeff y - 1/2) ------
+    P, eta = weighted_obs_terms(state.X_mean, r, 2.0 * lam, resid)
     P = P + cavi._prior_precision(pri, T)[None]
-
-    # -- natural parameter -------------------------------------------------
-    # sender coeff s_ij = (y_ij - 1/2) - 2 lam_ij * offset_j, offset = b_j
-    S_ = resid - L * b[None, :, :]
-    # receiver coeff (for node j from pair (i, j)): offset = a_i
-    W_ = resid - L * a[:, None, :]
-    eta = jnp.concatenate([
-        S_.sum(1)[..., None],                               # eta_a
-        W_.sum(0)[..., None],                               # eta_b
-        _contract(S_, V),                                   # eta_U
-        _contract(jnp.swapaxes(W_, 0, 1), U),               # eta_V
-    ], axis=-1)
     eta = eta + cavi._prior_nat_param(pri, state.X_mean)
 
     mu_new, cov_new = cavi._solve_full(P, eta)

@@ -277,6 +277,7 @@ def fit_em(Y: Array, params0: AMEParams, *,
            inner_tolerance: float = 1e-6,
            learning_rate: float = 0.5,
            learn: Sequence[str] = LEARNABLE,
+           family: str = "gaussian",
            phi_structure: str = "scalar",
            r_structure: str = "exchangeable",
            mixed_precision: bool = False,
@@ -311,6 +312,18 @@ def fit_em(Y: Array, params0: AMEParams, *,
     (the real-data case the reference's Phi = phi I cannot express);
     ``"diag"`` one rate per dimension.
 
+    ``family`` selects the observation model: ``"gaussian"`` (default)
+    uses the smoothed CAVI E-step; ``"bernoulli"``/``"poisson"`` use the
+    corresponding smoothed non-Gaussian E-step
+    (:func:`tame.inference.family_smoothed.fit_smoothed_family` — JJ
+    bound / CVI, same joint-trajectory posteriors with exact lag-1
+    cross-covariances).  The prior-side M-steps (phi, Q, Sigma0) depend
+    only on those posterior moments and are likelihood-agnostic; the R
+    M-step is Gaussian-specific (for non-Gaussian dyads the "noise" IS
+    the likelihood), so ``"R"`` is dropped from ``learn`` automatically
+    for those families.  ``mixed_precision``/``diag_mode``/``corrected``
+    apply to the Gaussian E-step only.
+
     Returns :class:`EMResult`; ``history`` tracks ``elbo`` (final inner
     ELBO per EM iteration) and the learned scalars per iteration (for
     non-scalar ``phi_structure``, ``phi`` is the additive rate and
@@ -319,11 +332,23 @@ def fit_em(Y: Array, params0: AMEParams, *,
     n, _, T, _ = Y.shape
     d = params0.d
     params = params0
+    if family not in ("gaussian", "bernoulli", "poisson"):
+        raise ValueError(f"unknown family {family!r}; choose from "
+                         "('gaussian', 'bernoulli', 'poisson')")
+    if family != "gaussian":
+        learn = tuple(k for k in learn if k != "R")
     if mask is not None:
         mask = jnp.asarray(mask, Y.dtype)
         mask = mask * (1.0 - jnp.eye(n, dtype=Y.dtype)[:, :, None])
     if init is not None:
         state = init
+    elif family != "gaussian" and init_mode == "warm":
+        from tame.inference.family_smoothed import (
+            warm_init_smoothed_family,
+        )
+
+        state = warm_init_smoothed_family(Y, params0, family,
+                                          obs_mask=mask)
     elif init_mode == "warm":
         # The data-driven warm start (closed-form two-way fit + top-r SVD
         # subspace, broadcast over T) is TEMPORALLY COHERENT: every time
@@ -364,13 +389,25 @@ def fit_em(Y: Array, params0: AMEParams, *,
         # every later E-step).
         lr = learning_rate
         for attempt in range(4):
-            out = fit_cavi_smoothed(Y, params, state,
-                                    max_iter=inner_max_iter,
-                                    learning_rate=lr,
-                                    tolerance=inner_tolerance,
-                                    corrected=True,
-                                    mixed_precision=mixed_precision,
-                                    diag_mode=diag_mode, mask=mask)
+            if family != "gaussian":
+                from tame.inference.family_smoothed import (
+                    fit_smoothed_family,
+                )
+
+                out = fit_smoothed_family(Y, params, state,
+                                          family=family,
+                                          max_iter=inner_max_iter,
+                                          learning_rate=lr,
+                                          tolerance=inner_tolerance,
+                                          mask=mask)
+            else:
+                out = fit_cavi_smoothed(Y, params, state,
+                                        max_iter=inner_max_iter,
+                                        learning_rate=lr,
+                                        tolerance=inner_tolerance,
+                                        corrected=True,
+                                        mixed_precision=mixed_precision,
+                                        diag_mode=diag_mode, mask=mask)
             e = float(np.asarray(out.elbo_history)[int(out.n_iter) - 1])
             # An E-step that blew up or regressed hard signals the inner
             # solver oscillating at this damping; retry softer.  The

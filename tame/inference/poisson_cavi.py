@@ -74,7 +74,10 @@ import jax.numpy as jnp
 from jax import Array
 
 from tame.inference import cavi
-from tame.inference.binary_cavi import _contract, _predictor_moments
+from tame.inference.binary_cavi import (
+    _predictor_moments,
+    weighted_obs_terms,
+)
 from tame.models.params import AMEParams
 from tame.ops import dyad as dyad_ops
 
@@ -120,46 +123,14 @@ def _cvi_update(state: cavi.CaviState, y0: Array, offd: Array,
                 lr: Array) -> cavi.CaviState:
     """The damped CVI coordinate update given the state's predictor
     moments (``m``, ``var`` from :func:`_evaluate`)."""
-    n, T, d = state.X_mean.shape
-    r = (d - 2) // 2
-    a, b, U, V = dyad_ops.split_state(state.X_mean, r)
+    T = state.X_mean.shape[1]
+    r = (state.X_mean.shape[-1] - 2) // 2
     w = jnp.exp(jnp.clip(m + 0.5 * var, -_EXP_CLIP, _EXP_CLIP)) * offd
-
-    # -- weighted observation precision -----------------------------------
-    VV = (V[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
-    UU = (U[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
-    Cs = _contract(w, jnp.concatenate(
-        [jnp.ones((n, T, 1)), V, VV], axis=-1))
-    wt = jnp.swapaxes(w, 0, 1)
-    Cr_ = _contract(wt, jnp.concatenate(
-        [jnp.ones((n, T, 1)), U, UU], axis=-1))
-
-    P = jnp.zeros((n, T, d, d))
-    P = P.at[..., 0, 0].set(Cs[..., 0])
-    P = P.at[..., 1, 1].set(Cr_[..., 0])
-    sWV = Cs[..., 1:1 + r]
-    P = P.at[..., 0, 2:2 + r].set(sWV).at[..., 2:2 + r, 0].set(sWV)
-    sWU = Cr_[..., 1:1 + r]
-    P = P.at[..., 1, 2 + r:].set(sWU).at[..., 2 + r:, 1].set(sWU)
-    P = P.at[..., 2:2 + r, 2:2 + r].set(
-        Cs[..., 1 + r:].reshape(n, T, r, r))
-    P = P.at[..., 2 + r:, 2 + r:].set(
-        Cr_[..., 1 + r:].reshape(n, T, r, r))
-    P = P + cavi._prior_precision(pri, T)[None]
-
-    # -- natural parameter -------------------------------------------------
-    # surrogate coefficient on m: y - w + w mu; subtracting the partner
-    # offsets (b_j sender side / a_i receiver side) leaves the
-    # coefficient on this node's own contribution.
+    # surrogate coefficient on m: y - w + w mu (weighted_obs_terms then
+    # subtracts the partner-offset pulls w b_j / w a_i).
     resid = (y0 - w + w * m) * offd
-    S_ = resid - w * b[None, :, :]
-    W_ = resid - w * a[:, None, :]
-    eta = jnp.concatenate([
-        S_.sum(1)[..., None],                               # eta_a
-        W_.sum(0)[..., None],                               # eta_b
-        _contract(S_, V),                                   # eta_U
-        _contract(jnp.swapaxes(W_, 0, 1), U),               # eta_V
-    ], axis=-1)
+    P, eta = weighted_obs_terms(state.X_mean, r, w, resid)
+    P = P + cavi._prior_precision(pri, T)[None]
     eta = eta + cavi._prior_nat_param(pri, state.X_mean)
 
     mu_new, cov_new = cavi._solve_full(P, eta)

@@ -343,7 +343,18 @@ def smoothed_elbo_from_quad(quad_sum: Array, params: AMEParams,
     log_lik = -0.5 * (quad_sum + n_dyads * (pri.logdet_R + 2.0 * _LOG2PI))
     corr = 0.1 * jnp.trace(params.R_inv) / d * wsum
     log_lik = log_lik - 0.5 * corr
+    prior0, priort, entropy = smoothed_prior_entropy(params, pri, state)
+    return log_lik + prior0 + priort + entropy
 
+
+def smoothed_prior_entropy(params: AMEParams, pri: cavi.PriorMatrices,
+                           state: SmoothedState) -> tuple:
+    """The likelihood-independent ELBO terms of the smoothed family:
+    ``(prior0, priort, entropy)`` with exact cross-time transition
+    expectations and the joint-trajectory entropy — shared by the
+    Gaussian smoothed engine and the non-Gaussian smoothed E-steps
+    (:mod:`tame.inference.family_smoothed`)."""
+    n, T, d = state.X_mean.shape
     # initial prior
     mu0 = state.X_mean[:, 0]
     quad0 = jnp.einsum("ia,ab,ib->", mu0, pri.Sigma0_inv, mu0,
@@ -376,7 +387,7 @@ def smoothed_elbo_from_quad(quad_sum: Array, params: AMEParams,
     # entropy of the joint trajectories: 0.5 (Td (1+log 2 pi) - logdet P)
     entropy = 0.5 * (n * T * d * (1.0 + _LOG2PI)
                      - jnp.sum(state.logdets))
-    return log_lik + prior0 + priort + entropy
+    return prior0, priort, entropy
 
 
 def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,

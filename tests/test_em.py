@@ -206,3 +206,125 @@ class TestGeneralizedPhi:
 
         with pytest.raises(ValueError, match="phi_structure"):
             _phi_groups("banana", 4)
+
+
+@pytest.mark.slow
+class TestNonGaussianEM:
+    """EM through the non-Gaussian smoothed E-steps
+    (tame/inference/family_smoothed.py): the phi/Q/Sigma0 M-steps are
+    likelihood-agnostic reductions of the joint-trajectory posterior
+    moments, so hyperparameter learning must work for binary and count
+    networks too (the reference supports neither non-Gaussian data nor
+    hyperparameter estimation)."""
+
+    def _run(self, family, n=200, T=12, mask=None, **kw):
+        cfg = ModelConfig(n_nodes=n, n_time=T, latent_dim=1,
+                          ar_coefficient=0.8, seed=3)
+        p_true = build_params(cfg)
+        Y, X = sample(p_true, jax.random.PRNGKey(3), n, T, family=family)
+        if mask is not None:
+            Y = jnp.where(mask[..., None] == 0, jnp.nan, Y)
+        cfg0 = ModelConfig(n_nodes=n, n_time=T, latent_dim=1,
+                           ar_coefficient=0.3, seed=3)
+        kw.setdefault("n_em", 10)
+        return fit_em(Y, build_params(cfg0), family=family,
+                      inner_max_iter=100, learning_rate=0.7,
+                      mask=mask, verbose=False, **kw)
+
+    def test_binary_recovers_phi(self):
+        out = self._run("bernoulli")
+        assert abs(out.history["phi"][-1] - 0.8) < 0.05, \
+            out.history["phi"]
+        # the JJ objective improves monotonically across EM iterations
+        eh = np.asarray(out.history["elbo"])
+        assert np.all(np.diff(eh) > -abs(eh[0]) * 1e-3)
+
+    def test_poisson_recovers_phi(self):
+        out = self._run("poisson")
+        assert abs(out.history["phi"][-1] - 0.8) < 0.05, \
+            out.history["phi"]
+
+    def test_binary_masked_recovers_phi(self):
+        from tame.models import random_dyad_mask
+
+        mask = random_dyad_mask(jax.random.PRNGKey(9), 200, 12, 0.3)
+        out = self._run("bernoulli", mask=mask)
+        assert abs(out.history["phi"][-1] - 0.8) < 0.07, \
+            out.history["phi"]
+
+    def test_r_dropped_from_learnables(self):
+        """sigma2/rho must stay at their starting values: the R M-step is
+        Gaussian-specific and auto-dropped for non-Gaussian families."""
+        out = self._run("bernoulli", n=40, T=6, n_em=3)
+        assert out.history["sigma2"][0] == out.history["sigma2"][-1]
+        assert out.history["rho"][0] == out.history["rho"][-1]
+
+    def test_unknown_family_raises(self):
+        cfg = ModelConfig(n_nodes=8, n_time=3, latent_dim=1, seed=0)
+        p = build_params(cfg)
+        Y, _ = sample(p, jax.random.PRNGKey(0), 8, 3)
+        with pytest.raises(ValueError, match="family"):
+            fit_em(Y, p, family="banana")
+
+
+class TestSmoothedFamilyEstep:
+    """The smoothed non-Gaussian fits themselves (guarded loop, warm
+    start, masked gating) at unit-test scale."""
+
+    def test_converges_and_recovers_predictor(self):
+        from tame.inference import (
+            fit_smoothed_family,
+            warm_init_smoothed_family,
+        )
+        from tame.ops import dyad as dyad_ops
+
+        for fam in ("bernoulli", "poisson"):
+            cfg = ModelConfig(n_nodes=24, n_time=6, latent_dim=1, seed=0)
+            p = build_params(cfg)
+            Y, X = sample(p, jax.random.PRNGKey(0), 24, 6, family=fam)
+            init = warm_init_smoothed_family(Y, p, fam)
+            out = fit_smoothed_family(Y, p, init, family=fam,
+                                      max_iter=200, learning_rate=0.7,
+                                      tolerance=1e-6)
+            assert bool(out.converged) and not bool(out.diverged)
+            m_true = np.asarray(dyad_ops.dyadic_fwd_temporal(
+                jnp.asarray(X), 1))
+            m_est = np.asarray(dyad_ops.dyadic_fwd_temporal(
+                out.state.X_mean, 1))
+            off = ~np.eye(24, dtype=bool)
+            corr = np.corrcoef(m_true[off].ravel(),
+                               m_est[off].ravel())[0, 1]
+            assert corr > 0.8, (fam, corr)
+            # the trajectory posterior carries genuine lag-1 couplings
+            assert float(jnp.abs(out.state.X_cross).max()) > 1e-4
+
+    def test_masked_entries_never_read(self):
+        from tame.inference import (
+            fit_smoothed_family,
+            warm_init_smoothed_family,
+        )
+        from tame.models import random_dyad_mask
+
+        cfg = ModelConfig(n_nodes=14, n_time=4, latent_dim=1, seed=2)
+        p = build_params(cfg)
+        Y, _ = sample(p, jax.random.PRNGKey(2), 14, 4, family="poisson")
+        mask = random_dyad_mask(jax.random.PRNGKey(5), 14, 4, 0.3)
+        Yg = jnp.where(mask[..., None] == 0, jnp.nan, Y)
+        init = warm_init_smoothed_family(Y, p, "poisson", obs_mask=mask)
+        kw = dict(family="poisson", max_iter=30, learning_rate=0.7,
+                  tolerance=0.0, mask=mask)
+        a = fit_smoothed_family(Y, p, init, **kw)
+        b = fit_smoothed_family(Yg, p, init, **kw)
+        assert np.array_equal(np.asarray(a.state.X_mean),
+                              np.asarray(b.state.X_mean))
+
+    def test_unknown_family_raises(self):
+        from tame.inference import fit_smoothed_family
+        from tame.inference.smoothed import init_smoothed_state
+
+        cfg = ModelConfig(n_nodes=6, n_time=2, latent_dim=1, seed=0)
+        p = build_params(cfg)
+        Y, _ = sample(p, jax.random.PRNGKey(0), 6, 2)
+        st = init_smoothed_state(jax.random.PRNGKey(0), 6, 2, 4)
+        with pytest.raises(ValueError, match="family"):
+            fit_smoothed_family(Y, p, st, family="banana")
