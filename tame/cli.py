@@ -61,6 +61,19 @@ def _cmd_fit(args) -> int:
 
     model = _build_model(args)
     _, X_true = model.generate_data(return_latents=True)
+    if args.method in ("binary", "poisson"):
+        # Regenerate observations from the matching dyadic family
+        # through the same latent states (cf. the `sample` subcommand).
+        import jax
+        import numpy as np
+
+        from tame.models import sample_observations
+
+        family = "bernoulli" if args.method == "binary" else "poisson"
+        model.Y = np.asarray(sample_observations(
+            model.params, jax.random.PRNGKey(args.seed + 7),
+            model.X, family=family))
+        print(f"Observations regenerated with family='{family}'.")
     mask = None
     missing = getattr(args, "missing_frac", 0.0)
     if missing:
@@ -68,14 +81,25 @@ def _cmd_fit(args) -> int:
 
         from tame.models import random_dyad_mask
 
-        if args.update_mode == "seq" and args.method != "smoothed":
+        if args.update_mode == "seq" and args.method not in (
+                "smoothed", "binary", "poisson"):
             print("--missing-frac requires --update-mode block or jacobi.")
             return 1
         mask = random_dyad_mask(jax.random.PRNGKey(args.seed + 1),
                                 args.n_nodes, args.n_time, missing)
         print(f"Hiding {missing:.0%} of dyads at random; fitting on "
               "the rest.")
-    if args.method == "naive":
+    if args.method in ("binary", "poisson"):
+        from tame.inference import (
+            TemporalAMEBernoulliVI,
+            TemporalAMEPoissonVI,
+        )
+
+        cls = (TemporalAMEBernoulliVI if args.method == "binary"
+               else TemporalAMEPoissonVI)
+        vi = cls(model, learning_rate=args.lr, seed=args.seed,
+                 init_mode=args.init, mask=mask)
+    elif args.method == "naive":
         vi = TemporalAMENaiveMFVI(model, learning_rate=args.lr,
                                   seed=args.seed,
                                   update_mode=args.update_mode,
@@ -117,14 +141,35 @@ def _cmd_fit(args) -> int:
 
         from tame.ops import dyad as dyad_ops
 
-        fwd = dyad_ops.dyadic_fwd_temporal(vi.X_mean, args.latent_dim)
-        e2 = np.asarray((jnp.asarray(model.Y)[..., 0] - fwd) ** 2)
+        fwd = np.asarray(dyad_ops.dyadic_fwd_temporal(
+            vi.X_mean, args.latent_dim))
+        y0 = np.asarray(jnp.asarray(model.Y)[..., 0])
         m = np.asarray(mask)
         off = 1.0 - np.eye(args.n_nodes)[:, :, None]
         held = off * (1.0 - m)
-        print(f"Observed-dyad recon MSE: {(e2 * m).sum() / m.sum():.6f}")
-        print(f"Held-out-dyad recon MSE: "
-              f"{(e2 * held).sum() / max(held.sum(), 1):.6f}")
+        if args.method == "binary":
+            acc = (fwd > 0) == (y0 > 0.5)
+            print(f"Observed-dyad accuracy: "
+                  f"{(acc * m).sum() / m.sum():.4f}")
+            print(f"Held-out-dyad accuracy: "
+                  f"{(acc * held).sum() / max(held.sum(), 1):.4f}")
+        elif args.method == "poisson":
+            rate = np.exp(np.clip(fwd, -20, 20))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ylogy = np.where(y0 > 0, y0 * np.log(np.maximum(y0,
+                                                                1e-12)),
+                                 0.0)
+            dev = 2.0 * (ylogy - y0 * fwd - y0 + rate)
+            print(f"Observed-dyad mean deviance: "
+                  f"{(dev * m).sum() / m.sum():.4f}")
+            print(f"Held-out-dyad mean deviance: "
+                  f"{(dev * held).sum() / max(held.sum(), 1):.4f}")
+        else:
+            e2 = (y0 - fwd) ** 2
+            print(f"Observed-dyad recon MSE: "
+                  f"{(e2 * m).sum() / m.sum():.6f}")
+            print(f"Held-out-dyad recon MSE: "
+                  f"{(e2 * held).sum() / max(held.sum(), 1):.6f}")
     if args.checkpoint:
         vi.save_checkpoint(args.checkpoint)
         print(f"Checkpoint written to {args.checkpoint}")
@@ -161,6 +206,18 @@ def _cmd_mult_strength(args) -> int:
 
     main(save_outputs=not args.no_save, n_nodes=args.n_nodes,
          n_time=args.n_time, max_iter=args.max_iter, seed=args.seed)
+    return 0
+
+
+def _cmd_binary_compare(args) -> int:
+    from tame.experiments.binary_comparison import run_binary_comparison
+
+    run_binary_comparison(
+        n_nodes=args.n_nodes, n_time=args.n_time,
+        latent_dim=args.latent_dim,
+        ar_coefficient=args.ar_coefficient,
+        missing_frac=args.missing_frac, max_iter=args.max_iter,
+        seed=args.seed, save_outputs=not args.no_save)
     return 0
 
 
@@ -272,8 +329,12 @@ def build_parser() -> argparse.ArgumentParser:
     p = sub.add_parser("fit", help="fit one VI engine")
     _add_model_flags(p)
     p.add_argument("--method",
-                   choices=["naive", "good", "bad", "smoothed"],
-                   default="good")
+                   choices=["naive", "good", "bad", "smoothed",
+                            "binary", "poisson"],
+                   default="good",
+                   help="'binary'/'poisson' fit the non-Gaussian "
+                        "engines (JJ-bound / CVI) on observations "
+                        "regenerated from the matching dyadic family")
     p.add_argument("--lr", type=float, default=0.7)
     p.add_argument("--max-iter", type=int, default=150)
     p.add_argument("--tolerance", type=float, default=1e-4)
@@ -323,6 +384,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-iter", type=int, default=150)
     p.add_argument("--no-save", action="store_true")
     p.set_defaults(fn=_cmd_mult_strength)
+
+    p = sub.add_parser(
+        "binary-compare",
+        help="binary networks: JJ-VI vs smoothed vs Gaussian control")
+    _add_model_flags(p)
+    p.add_argument("--missing-frac", type=float, default=0.2)
+    p.add_argument("--max-iter", type=int, default=200)
+    p.add_argument("--no-save", action="store_true")
+    p.set_defaults(fn=_cmd_binary_compare)
 
     p = sub.add_parser("sample", help="posterior sampling (HMC/NUTS/SMC)")
     _add_model_flags(p)

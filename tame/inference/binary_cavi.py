@@ -67,6 +67,11 @@ class BernoulliFitResult(NamedTuple):
     n_iter: Array
     converged: Array
     diverged: Array
+    # Convergence carry at exit (cf. cavi.FitResult): feed back as
+    # carry_elbo/carry_patience of a follow-up call to continue a fit in
+    # segments with BITWISE-identical stopping behavior.
+    last_elbo: Array = jnp.nan
+    pat_count: Array = 0
 
 
 def _lam(xi: Array) -> Array:
@@ -211,6 +216,7 @@ def fit_cavi_bernoulli(Y: Array, params: AMEParams,
                        init: cavi.CaviState, *,
                        max_iter: int = 200, learning_rate=0.8,
                        tolerance=1e-5, patience: int = 3,
+                       carry_elbo=None, carry_patience=0,
                        mask: Optional[Array] = None
                        ) -> BernoulliFitResult:
     """Fit the JJ-bound CAVI to a binary network inside one compiled
@@ -222,6 +228,11 @@ def fit_cavi_bernoulli(Y: Array, params: AMEParams,
     ``tame.models.likelihoods.BernoulliDyadic`` (only component 0 — the
     full ordered adjacency — is read).  ``mask``: optional (n, n, T)
     observation gate (missing dyads are never read).
+
+    ``carry_elbo``/``carry_patience`` seed the convergence bookkeeping
+    from a prior segment's ``last_elbo``/``pat_count`` so a fit run in
+    segments (engine in-fit checkpointing) stops at EXACTLY the same
+    iteration as the uninterrupted fit (cf. ``cavi.fit_cavi``).
     """
     buf = 64
     while buf < max_iter:
@@ -229,12 +240,16 @@ def fit_cavi_bernoulli(Y: Array, params: AMEParams,
     return _fit_bernoulli_impl(Y, params, init, jnp.asarray(max_iter),
                                jnp.asarray(learning_rate, jnp.float32),
                                jnp.asarray(tolerance, jnp.float32),
+                               jnp.asarray(-jnp.inf if carry_elbo is None
+                                           else carry_elbo, jnp.float32),
+                               jnp.asarray(carry_patience),
                                buf_size=buf, patience=patience,
                                mask=mask)
 
 
 @functools.partial(jax.jit, static_argnames=("buf_size", "patience"))
-def _fit_bernoulli_impl(Y, params, init, max_iter, lr, tol, *,
+def _fit_bernoulli_impl(Y, params, init, max_iter, lr, tol,
+                        carry_elbo, carry_patience, *,
                         buf_size: int, patience: int,
                         mask=None) -> BernoulliFitResult:
     n, _, T, _ = Y.shape
@@ -265,21 +280,24 @@ def _fit_bernoulli_impl(Y, params, init, max_iter, lr, tol, *,
         return state, it + 1, bound, pat, conv, div, eh, ah
 
     nanbuf = jnp.full((buf_size,), jnp.nan, jnp.float32)
-    carry = (init, jnp.asarray(0), jnp.asarray(-jnp.inf, jnp.float32),
-             jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
-             nanbuf, nanbuf)
-    state, it, _, _, conv, div, eh, ah = jax.lax.while_loop(cond, body,
-                                                            carry)
+    carry = (init, jnp.asarray(0), carry_elbo, carry_patience,
+             jnp.asarray(False), jnp.asarray(False), nanbuf, nanbuf)
+    state, it, last, pat, conv, div, eh, ah = jax.lax.while_loop(
+        cond, body, carry)
     return BernoulliFitResult(X_mean=state.X_mean, X_cov=state.X_cov,
                               elbo_history=eh, accuracy_history=ah,
-                              n_iter=it, converged=conv, diverged=div)
+                              n_iter=it, converged=conv, diverged=div,
+                              last_elbo=last, pat_count=pat)
 
 
 class TemporalAMEBernoulliVI:
     """Engine class for binary dynamic networks (JJ-bound CAVI); same
-    surface feel as the Gaussian engines.  ``model.Y`` must hold binary
-    data in the reciprocal layout (e.g. from
-    ``sample_observations(..., family="bernoulli")``)."""
+    surface feel as the Gaussian engines — including segmented in-fit
+    checkpointing with bitwise-identical resume
+    (``checkpoint_every``/``resume``, cf.
+    :class:`tame.inference.smoothed.TemporalAMESmoothedVI`).
+    ``model.Y`` must hold binary data in the reciprocal layout (e.g.
+    from ``sample_observations(..., family="bernoulli")``)."""
 
     structure = "bernoulli"
 
@@ -298,6 +316,10 @@ class TemporalAMEBernoulliVI:
         self.mask = None if mask is None else jnp.asarray(mask)
         self.params = model.params
         self.history = {"elbo": [], "accuracy": []}
+        self._carry_elbo = None
+        self._carry_pat = 0
+        self._converged = False
+        self._diverged = False
         if init_mode == "warm":
             # Logit linearization sigmoid(m) ~ 1/2 + m/4 around 0 makes
             # 4 (y - 1/2) pseudo-Gaussian observations of the predictor;
@@ -315,26 +337,134 @@ class TemporalAMEBernoulliVI:
         self.X_cov = st.X_cov
 
     def fit(self, max_iter: int = 200, tolerance: float = 1e-5,
-            verbose: bool = True, check_every: int = 10):
+            verbose: bool = True, check_every: int = 10,
+            checkpoint_every=None, ckpt_dir=None, resume: bool = False):
+        """Run JJ-bound CAVI to convergence.
+
+        ``checkpoint_every``/``ckpt_dir``/``resume`` mirror the other
+        engines: the compiled loop runs in segments, each followed by an
+        async checkpoint + progress line; the convergence carry threads
+        through segments so a segmented (or killed-and-resumed) fit
+        stops at EXACTLY the same iteration as the uninterrupted one.
+        """
         import numpy as np
 
-        out = jax.block_until_ready(fit_cavi_bernoulli(
-            self.Y, self.params,
-            cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
-            max_iter=max_iter, learning_rate=self.lr,
-            tolerance=tolerance, mask=self.mask))
-        self.X_mean, self.X_cov = out.X_mean, out.X_cov
-        k = int(out.n_iter)
-        eh = np.asarray(out.elbo_history)[:k]
-        ah = np.asarray(out.accuracy_history)[:k]
-        self.history["elbo"].extend(float(v) for v in eh)
-        self.history["accuracy"].extend(float(v) for v in ah)
-        if verbose:
-            for it in range(k):
-                if it % check_every == 0 or it == k - 1:
-                    print(f"Iter {it:4d} | bound: {eh[it]:10.2f} | "
-                          f"acc: {ah[it]:.4f}")
+        if resume:
+            if ckpt_dir is None:
+                raise ValueError("resume=True requires ckpt_dir")
+            import os
+
+            if os.path.exists(os.fspath(ckpt_dir)):
+                self.load_checkpoint(ckpt_dir)
+
+        done = len(self.history["elbo"])
+        budget = max_iter - done if resume else max_iter
+        if budget <= 0:
+            return self.history
+        segment = checkpoint_every or budget
+        if not (resume and done > 0):
+            self._carry_elbo = None
+            self._carry_pat = 0
+            self._converged = False
+            self._diverged = False
+        seg_start = done
+        ckptr = None
+        if checkpoint_every and ckpt_dir is not None:
+            from tame.io.async_ckpt import AsyncCheckpointer
+
+            ckptr = AsyncCheckpointer()
+        while budget > 0 and not (self._converged or self._diverged):
+            seg = min(segment, budget)
+            out = jax.block_until_ready(fit_cavi_bernoulli(
+                self.Y, self.params,
+                cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
+                max_iter=seg, learning_rate=self.lr,
+                tolerance=tolerance, mask=self.mask,
+                carry_elbo=self._carry_elbo,
+                carry_patience=self._carry_pat))
+            self.X_mean, self.X_cov = out.X_mean, out.X_cov
+            k = int(out.n_iter)
+            eh = np.asarray(out.elbo_history)[:k]
+            ah = np.asarray(out.accuracy_history)[:k]
+            self.history["elbo"].extend(float(v) for v in eh)
+            self.history["accuracy"].extend(float(v) for v in ah)
+            self._converged = bool(out.converged)
+            self._diverged = bool(out.diverged)
+            self._carry_elbo = float(out.last_elbo)
+            self._carry_pat = int(out.pat_count)
+            budget -= k
+            if checkpoint_every:
+                if ckptr is not None:
+                    ckptr.save(ckpt_dir, self._checkpoint_state())
+                if verbose and k:
+                    total = len(self.history["elbo"])
+                    print(f"Iter {total - 1:4d} | bound: {eh[-1]:10.2f} "
+                          f"| acc: {ah[-1]:.4f}"
+                          + (" | checkpointed" if ckpt_dir else ""),
+                          flush=True)
+        if ckptr is not None:
+            ckptr.wait()
+
+        if verbose and not checkpoint_every:
+            eh_all = self.history["elbo"]
+            ah_all = self.history["accuracy"]
+            n_total = len(eh_all)
+            for it in range(seg_start, n_total):
+                if (it - seg_start) % check_every == 0 \
+                        or it == n_total - 1:
+                    print(f"Iter {it:4d} | bound: {eh_all[it]:10.2f} | "
+                          f"acc: {ah_all[it]:.4f}")
         return self.history
+
+    def _checkpoint_state(self):
+        import numpy as np
+
+        return {
+            "X_mean": self.X_mean,
+            "X_cov": self.X_cov,
+            "history": {
+                "elbo": np.asarray(self.history["elbo"]),
+                "accuracy": np.asarray(self.history["accuracy"]),
+            },
+            "structure": self.structure,
+            "learning_rate": self.lr,
+            "seed": self.seed,
+            "carry_elbo": self._carry_elbo,
+            "carry_pat": self._carry_pat,
+            "converged": bool(self._converged),
+            "diverged": bool(self._diverged),
+        }
+
+    def save_checkpoint(self, ckpt_dir) -> None:
+        """Checkpoint the fit state (variational parameters, history,
+        convergence carry) for restart."""
+        from tame.io import save_checkpoint
+
+        save_checkpoint(ckpt_dir, self._checkpoint_state())
+
+    def load_checkpoint(self, ckpt_dir) -> None:
+        """Restore a checkpoint saved by :meth:`save_checkpoint`; a
+        subsequent ``fit`` continues from the restored state."""
+        import numpy as np
+
+        from tame.io import load_checkpoint
+
+        state = load_checkpoint(ckpt_dir)
+        if state.get("structure", "bernoulli") != "bernoulli":
+            raise ValueError(
+                f"checkpoint structure '{state.get('structure')}' is "
+                "not 'bernoulli'")
+        self.X_mean = jnp.asarray(state["X_mean"])
+        self.X_cov = jnp.asarray(state["X_cov"])
+        self.history = {
+            "elbo": list(np.asarray(state["history"]["elbo"]).tolist()),
+            "accuracy": list(np.asarray(
+                state["history"]["accuracy"]).tolist()),
+        }
+        self._carry_elbo = state.get("carry_elbo")
+        self._carry_pat = int(state.get("carry_pat", 0))
+        self._converged = bool(state.get("converged", False))
+        self._diverged = bool(state.get("diverged", False))
 
     def predict_proba(self) -> Array:
         """Posterior plug-in tie probabilities (n, n, T)."""

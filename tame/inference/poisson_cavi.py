@@ -95,6 +95,22 @@ class PoissonFitResult(NamedTuple):
     n_iter: Array
     converged: Array
     diverged: Array
+    # Guarded-loop carry at exit: (proposal mean, proposal cov,
+    # last accepted ELBO, step scale, patience count).  Feed back as
+    # ``carry=result.resume_carry()`` of a follow-up call to continue a
+    # fit in segments with BITWISE-identical behavior — the guarded
+    # loop's full state includes the un-evaluated proposal, not just the
+    # last accepted iterate.
+    prop_mean: Array = jnp.nan
+    prop_cov: Array = jnp.nan
+    last_elbo: Array = jnp.nan
+    step_scale: Array = 1.0
+    pat_count: Array = 0
+
+    def resume_carry(self):
+        return (cavi.CaviState(X_mean=self.prop_mean,
+                               X_cov=self.prop_cov),
+                self.last_elbo, self.step_scale, self.pat_count)
 
 
 def _evaluate(state: cavi.CaviState, y0: Array, logyfac: Array,
@@ -160,6 +176,7 @@ def fit_cavi_poisson(Y: Array, params: AMEParams,
                      init: cavi.CaviState, *,
                      max_iter: int = 200, learning_rate=0.7,
                      tolerance=1e-5, patience: int = 3,
+                     carry=None,
                      mask: Optional[Array] = None) -> PoissonFitResult:
     """Fit the CVI engine to a count network inside one compiled loop
     (tolerance/patience stopping on the exact ELBO, cf.
@@ -170,18 +187,33 @@ def fit_cavi_poisson(Y: Array, params: AMEParams,
     ``tame.models.likelihoods.PoissonDyadic`` (only component 0 — the
     full ordered adjacency — is read).  ``mask``: optional (n, n, T)
     observation gate (missing dyads are never read).
+
+    ``carry``: a prior segment's ``PoissonFitResult.resume_carry()`` —
+    continues a fit in segments with BITWISE-identical behavior (the
+    guarded loop's carry includes the un-evaluated proposal and the
+    step scale, so ``init`` must be that segment's ``X_mean``/``X_cov``
+    and ``carry`` its proposal/bookkeeping).
     """
     buf = 64
     while buf < max_iter:
         buf *= 2
-    return _fit_poisson_impl(Y, params, init, jnp.asarray(max_iter),
+    if carry is None:
+        prop, e0, scale0, pat0 = init, -jnp.inf, 1.0, 0
+    else:
+        prop, e0, scale0, pat0 = carry
+    return _fit_poisson_impl(Y, params, init, prop,
+                             jnp.asarray(max_iter),
                              jnp.asarray(learning_rate, jnp.float32),
                              jnp.asarray(tolerance, jnp.float32),
+                             jnp.asarray(e0, jnp.float32),
+                             jnp.asarray(scale0, jnp.float32),
+                             jnp.asarray(pat0),
                              buf_size=buf, patience=patience, mask=mask)
 
 
 @functools.partial(jax.jit, static_argnames=("buf_size", "patience"))
-def _fit_poisson_impl(Y, params, init, max_iter, lr, tol, *,
+def _fit_poisson_impl(Y, params, init, prop0, max_iter, lr, tol,
+                      carry_elbo, carry_scale, carry_pat, *,
                       buf_size: int, patience: int,
                       mask=None) -> PoissonFitResult:
     n, _, T, _ = Y.shape
@@ -235,22 +267,27 @@ def _fit_poisson_impl(Y, params, init, max_iter, lr, tol, *,
         return (prop, nxt, e_nxt, scale, it + 1, pat, conv, div, eh, dh)
 
     nanbuf = jnp.full((buf_size,), jnp.nan, jnp.float32)
-    carry = (init, init, jnp.asarray(-jnp.inf, jnp.float32),
-             jnp.asarray(1.0, jnp.float32), jnp.asarray(0),
-             jnp.asarray(0), jnp.asarray(False), jnp.asarray(False),
+    carry = (prop0, init, carry_elbo, carry_scale, jnp.asarray(0),
+             carry_pat, jnp.asarray(False), jnp.asarray(False),
              nanbuf, nanbuf)
     out = jax.lax.while_loop(cond, body, carry)
-    (_, last, _, _, it, pat, conv, div, eh, dh) = out
+    (prop, last, e_last, scale, it, pat, conv, div, eh, dh) = out
     return PoissonFitResult(X_mean=last.X_mean, X_cov=last.X_cov,
                             elbo_history=eh, deviance_history=dh,
-                            n_iter=it, converged=conv, diverged=div)
+                            n_iter=it, converged=conv, diverged=div,
+                            prop_mean=prop.X_mean, prop_cov=prop.X_cov,
+                            last_elbo=e_last, step_scale=scale,
+                            pat_count=pat)
 
 
 class TemporalAMEPoissonVI:
     """Engine class for count dynamic networks (CVI); same surface feel
-    as the Gaussian engines.  ``model.Y`` must hold count data in the
-    reciprocal layout (e.g. from
-    ``sample_observations(..., family="poisson")``)."""
+    as the Gaussian engines — including segmented in-fit checkpointing
+    with bitwise-identical resume (``checkpoint_every``/``resume``; the
+    checkpoint carries the guarded loop's full state, proposal
+    included).  ``model.Y`` must hold count data in the reciprocal
+    layout (e.g. from ``sample_observations(..., family="poisson")``).
+    """
 
     structure = "poisson"
 
@@ -269,6 +306,9 @@ class TemporalAMEPoissonVI:
         self.mask = None if mask is None else jnp.asarray(mask)
         self.params = model.params
         self.history = {"elbo": [], "deviance": []}
+        self._carry = None
+        self._converged = False
+        self._diverged = False
         if init_mode == "warm":
             # log-link linearization: log(y + 1/2) is a pseudo-Gaussian
             # observation of the predictor (the 1/2 shift keeps zero
@@ -287,26 +327,142 @@ class TemporalAMEPoissonVI:
         self.X_cov = st.X_cov
 
     def fit(self, max_iter: int = 200, tolerance: float = 1e-5,
-            verbose: bool = True, check_every: int = 10):
+            verbose: bool = True, check_every: int = 10,
+            checkpoint_every=None, ckpt_dir=None, resume: bool = False):
+        """Run guarded CVI to convergence.
+
+        ``checkpoint_every``/``ckpt_dir``/``resume`` mirror the other
+        engines: segments + async checkpoints; the carry (including the
+        guarded loop's proposal and step scale) threads through segments
+        so a segmented (or killed-and-resumed) fit is BITWISE identical
+        to the uninterrupted one.
+        """
         import numpy as np
 
-        out = jax.block_until_ready(fit_cavi_poisson(
-            self.Y, self.params,
-            cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
-            max_iter=max_iter, learning_rate=self.lr,
-            tolerance=tolerance, mask=self.mask))
-        self.X_mean, self.X_cov = out.X_mean, out.X_cov
-        k = int(out.n_iter)
-        eh = np.asarray(out.elbo_history)[:k]
-        dh = np.asarray(out.deviance_history)[:k]
-        self.history["elbo"].extend(float(v) for v in eh)
-        self.history["deviance"].extend(float(v) for v in dh)
-        if verbose:
-            for it in range(k):
-                if it % check_every == 0 or it == k - 1:
-                    print(f"Iter {it:4d} | elbo: {eh[it]:10.2f} | "
-                          f"deviance: {dh[it]:.4f}")
+        if resume:
+            if ckpt_dir is None:
+                raise ValueError("resume=True requires ckpt_dir")
+            import os
+
+            if os.path.exists(os.fspath(ckpt_dir)):
+                self.load_checkpoint(ckpt_dir)
+
+        done = len(self.history["elbo"])
+        budget = max_iter - done if resume else max_iter
+        if budget <= 0:
+            return self.history
+        segment = checkpoint_every or budget
+        if not (resume and done > 0):
+            self._carry = None
+            self._converged = False
+            self._diverged = False
+        seg_start = done
+        ckptr = None
+        if checkpoint_every and ckpt_dir is not None:
+            from tame.io.async_ckpt import AsyncCheckpointer
+
+            ckptr = AsyncCheckpointer()
+        while budget > 0 and not (self._converged or self._diverged):
+            seg = min(segment, budget)
+            out = jax.block_until_ready(fit_cavi_poisson(
+                self.Y, self.params,
+                cavi.CaviState(X_mean=self.X_mean, X_cov=self.X_cov),
+                max_iter=seg, learning_rate=self.lr,
+                tolerance=tolerance, mask=self.mask,
+                carry=self._carry))
+            self.X_mean, self.X_cov = out.X_mean, out.X_cov
+            k = int(out.n_iter)
+            eh = np.asarray(out.elbo_history)[:k]
+            dh = np.asarray(out.deviance_history)[:k]
+            self.history["elbo"].extend(float(v) for v in eh)
+            self.history["deviance"].extend(float(v) for v in dh)
+            self._converged = bool(out.converged)
+            self._diverged = bool(out.diverged)
+            self._carry = out.resume_carry()
+            budget -= k
+            if checkpoint_every:
+                if ckptr is not None:
+                    ckptr.save(ckpt_dir, self._checkpoint_state())
+                if verbose and k:
+                    total = len(self.history["elbo"])
+                    print(f"Iter {total - 1:4d} | elbo: {eh[-1]:10.2f} "
+                          f"| deviance: {dh[-1]:.4f}"
+                          + (" | checkpointed" if ckpt_dir else ""),
+                          flush=True)
+        if ckptr is not None:
+            ckptr.wait()
+
+        if verbose and not checkpoint_every:
+            eh_all = self.history["elbo"]
+            dh_all = self.history["deviance"]
+            n_total = len(eh_all)
+            for it in range(seg_start, n_total):
+                if (it - seg_start) % check_every == 0 \
+                        or it == n_total - 1:
+                    print(f"Iter {it:4d} | elbo: {eh_all[it]:10.2f} | "
+                          f"deviance: {dh_all[it]:.4f}")
         return self.history
+
+    def _checkpoint_state(self):
+        import numpy as np
+
+        carry = self._carry
+        state = {
+            "X_mean": self.X_mean,
+            "X_cov": self.X_cov,
+            "history": {
+                "elbo": np.asarray(self.history["elbo"]),
+                "deviance": np.asarray(self.history["deviance"]),
+            },
+            "structure": self.structure,
+            "learning_rate": self.lr,
+            "seed": self.seed,
+            "converged": bool(self._converged),
+            "diverged": bool(self._diverged),
+        }
+        if carry is not None:
+            prop, e, scale, pat = carry
+            state.update(prop_mean=prop.X_mean, prop_cov=prop.X_cov,
+                         carry_elbo=float(e), carry_scale=float(scale),
+                         carry_pat=int(pat))
+        return state
+
+    def save_checkpoint(self, ckpt_dir) -> None:
+        """Checkpoint the full fit state (variational parameters,
+        guarded-loop carry, history) for restart."""
+        from tame.io import save_checkpoint
+
+        save_checkpoint(ckpt_dir, self._checkpoint_state())
+
+    def load_checkpoint(self, ckpt_dir) -> None:
+        """Restore a checkpoint saved by :meth:`save_checkpoint`; a
+        subsequent ``fit`` continues from the restored state."""
+        import numpy as np
+
+        from tame.io import load_checkpoint
+
+        state = load_checkpoint(ckpt_dir)
+        if state.get("structure", "poisson") != "poisson":
+            raise ValueError(
+                f"checkpoint structure '{state.get('structure')}' is "
+                "not 'poisson'")
+        self.X_mean = jnp.asarray(state["X_mean"])
+        self.X_cov = jnp.asarray(state["X_cov"])
+        self.history = {
+            "elbo": list(np.asarray(state["history"]["elbo"]).tolist()),
+            "deviance": list(np.asarray(
+                state["history"]["deviance"]).tolist()),
+        }
+        if "prop_mean" in state:
+            self._carry = (cavi.CaviState(
+                X_mean=jnp.asarray(state["prop_mean"]),
+                X_cov=jnp.asarray(state["prop_cov"])),
+                state["carry_elbo"], state["carry_scale"],
+                int(state["carry_pat"]))
+        else:
+            self._carry = None
+        self._converged = bool(state.get("converged", False))
+        self._diverged = bool(state.get("diverged", False))
 
     def predict_rate(self) -> Array:
         """Posterior-mean count rates E_q[exp(m_ij)] (n, n, T) — the

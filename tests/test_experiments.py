@@ -214,11 +214,61 @@ class TestCLI:
         out = capsys.readouterr().out
         assert "family='poisson'" in out and "SMC" in out
 
+    def test_fit_binary_subcommand(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        from tame.cli import main
+
+        rc = main(["fit", "--n-nodes", "8", "--n-time", "3",
+                   "--latent-dim", "1", "--method", "binary",
+                   "--lr", "0.8", "--max-iter", "10",
+                   "--missing-frac", "0.2",
+                   "--checkpoint", str(tmp_path / "ck")])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "family='bernoulli'" in out
+        assert "Held-out-dyad accuracy" in out
+        assert (tmp_path / "ck" / "manifest.json").exists()
+
+    def test_fit_poisson_subcommand(self, tmp_path, monkeypatch, capsys):
+        monkeypatch.chdir(tmp_path)
+        from tame.cli import main
+
+        rc = main(["fit", "--n-nodes", "8", "--n-time", "3",
+                   "--latent-dim", "1", "--method", "poisson",
+                   "--max-iter", "10", "--missing-frac", "0.2"])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "family='poisson'" in out
+        assert "Held-out-dyad mean deviance" in out
+
     def test_unknown_command_fails(self):
         from tame.cli import main
 
         with pytest.raises(SystemExit):
             main(["bogus"])
+
+
+@pytest.mark.slow
+def test_binary_comparison_experiment(tmp_path, monkeypatch, capsys):
+    """The binary experiment row (tame/experiments/binary_comparison.py):
+    all three methods produce held-out scores, the correct observation
+    model wins or ties the Gaussian control on AUC, artifacts land in
+    the results dir."""
+    monkeypatch.chdir(tmp_path)
+    from tame.experiments.binary_comparison import run_binary_comparison
+
+    results, exp_dir = run_binary_comparison(n_nodes=20, n_time=5,
+                                             max_iter=80, seed=0)
+    assert set(results) == {"Binary JJ-VI", "Smoothed binary",
+                            "Gaussian Good SMF"}
+    for res in results.values():
+        assert 0.0 <= res["holdout_accuracy"] <= 1.0
+        assert np.isfinite(res["holdout_auc"])
+        assert res["scores"].shape == (20, 20, 5)
+    assert results["Binary JJ-VI"]["holdout_auc"] >= \
+        results["Gaussian Good SMF"]["holdout_auc"] - 0.02
+    assert (exp_dir / "figures" / "adjacency_probabilities.png").exists()
+    assert (exp_dir / "report.md").exists()
 
 
 @pytest.mark.slow
