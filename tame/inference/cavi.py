@@ -281,6 +281,13 @@ def _masked_residual_stats(dc: DiagConstants, obs: ObsConstants,
     class as a single dyad-weight contraction — vs the O(n^2 T)
     elementwise residual pass of ``diag_mode='exact'``.  No reference
     counterpart (complete networks only, ``naive_mf.py:324-374``).
+
+    CONTRACT: ``mask`` must be SYMMETRIC (``fit_cavi`` docstring — both
+    directions of an unordered dyad live in one ``Y[i, j, t]`` entry and
+    are observed together).  The cross-term re-summation here (the
+    ``2 a b cnt`` expansion and ``y_abT``) exploits that symmetry; an
+    asymmetric mask would silently skew these stats-mode diagnostics
+    while the update path still ran.
     """
     a, b, U, V = dyad_ops.split_state(X_mean, r)          # (n,T), (n,T,r)
     n, T = a.shape
@@ -1133,6 +1140,17 @@ def fit_cavi(Y: Array, params: AMEParams, init: CaviState, *,
              carry_elbo=None, carry_patience=0,
              mask: Optional[Array] = None) -> FitResult:
     """Run damped CAVI to convergence inside a single compiled loop.
+
+    PRECONDITION: ``Y`` must follow the framework's reciprocal layout —
+    ``Y[i, j, t, 1] == Y[j, i, t, 0]`` with zero diagonal (SURVEY.md §1
+    data-flow contract; every generator in :mod:`tame.models` produces
+    it).  The single-pass sufficient-statistics reductions
+    (:func:`_data_mean_cross_terms`, used by the ``diag_mode='stats'``
+    diagnostics and the warm start) derive the second weight tensor from
+    the first VIA this identity (``W1 == W0'``); a tensor violating the
+    layout yields silently skewed stats-mode ELBO/MSE diagnostics, not
+    an error.  Use :func:`tame.ops.dyad.symmetrize_dyads` (or
+    ``tame.io.edgelist``) to build a compliant ``Y`` from raw data.
 
     Convergence rule mirrors the reference trainer (``base.py:170-203``):
     stop once the relative ELBO change stays below ``tolerance`` for

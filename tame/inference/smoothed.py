@@ -457,6 +457,7 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
         fused = False
         mask = jnp.asarray(mask, Y.dtype)
         mask = mask * (1.0 - jnp.eye(n, dtype=Y.dtype)[:, :, None])
+    fused_explicit = fused is True
     if fused == "auto":
         # pallas_call is not GSPMD-partitioned: node-sharded inputs
         # (tame.parallel.shard_smoothed_inputs) take the XLA vmap path.
@@ -474,7 +475,14 @@ def fit_cavi_smoothed(Y: Array, params: AMEParams, init: SmoothedState, *,
     if smoother == "auto":
         smoother = "sequential"  # measured: see docstring
     if smoother == "parallel":
-        fused = False  # mutually exclusive solver choices
+        if fused_explicit:
+            # A user FORCING the Pallas kernel must not silently get the
+            # parallel scan instead; only the "auto" default yields.
+            raise ValueError("fused=True and smoother='parallel' are "
+                             "mutually exclusive solver choices; drop "
+                             "one (fused='auto' resolves to the scan "
+                             "path under the parallel smoother)")
+        fused = False
     if update_mode == "auto":
         update_mode = "block" if n >= 256 else "jacobi"
     if update_mode == "block" and num_blocks is None:

@@ -213,3 +213,24 @@ class TestParallelSmoother:
     def test_weak_information_high_phi(self):
         """The regime that killed the transfer-matrix formulation."""
         self._compare(512, phi=0.97, pscale=0.05, seed=1)
+
+
+def test_explicit_fused_with_parallel_smoother_raises():
+    """A user FORCING the Pallas kernel must not silently get the
+    parallel-scan solver instead (advisor finding, round 4)."""
+    from tame.inference.smoothed import (
+        fit_cavi_smoothed,
+        init_smoothed_state,
+    )
+    from tame.models import TemporalAMEModel
+
+    model = TemporalAMEModel(n_nodes=6, n_time=3, latent_dim=1, seed=0)
+    Y, _ = model.generate_data(return_latents=True)
+    st = init_smoothed_state(jax.random.PRNGKey(0), 6, 3, 4)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        fit_cavi_smoothed(jnp.asarray(Y), model.params, st, max_iter=2,
+                          fused=True, smoother="parallel")
+    # the "auto" default yields to the parallel choice without error
+    out = fit_cavi_smoothed(jnp.asarray(Y), model.params, st, max_iter=2,
+                            smoother="parallel")
+    assert int(out.n_iter) == 2
