@@ -1,5 +1,6 @@
 """IO subsystem: native tensor store, checkpoint/resume, orbax bridge."""
 
+from tame.io.datasets import KarateClub, load_karate_club
 from tame.io.edgelist import (
     edgelist_to_tensors,
     load_edgelist_csv,
@@ -20,4 +21,6 @@ __all__ = [
     "edgelist_to_tensors",
     "tensors_to_edgelist",
     "load_edgelist_csv",
+    "KarateClub",
+    "load_karate_club",
 ]
