@@ -40,7 +40,12 @@ def main(argv=None):
     ap.add_argument("--r", type=int, default=2)
     ap.add_argument("--chains", type=int, default=64)
     ap.add_argument("--warmup", type=int, default=200)
-    ap.add_argument("--samples", type=int, default=200)
+    ap.add_argument("--samples", type=int, default=1000,
+                    help=">= 1000 draws/chain so the Vehtari/Geyer ESS "
+                         "estimator can resolve autocorrelation below "
+                         "the total-draw ceiling (round-4 verdict: at "
+                         "200 draws ESS saturated at C*S and ESS/s was "
+                         "an extrapolation)")
     ap.add_argument("--max-depth", type=int, default=6)
     ap.add_argument("--k-scalars", type=int, default=64,
                     help="number of dyad-mean coordinates tracked for "
@@ -86,6 +91,22 @@ def main(argv=None):
     fit = jax.block_until_ready(fit)
     print(f"SMF fit: {int(fit.n_iter)} iters, converged="
           f"{bool(fit.converged)}", flush=True)
+
+    # -- corrected-smoothed reference fit: the tighter joint-trajectory
+    # family, same exact-update posterior target — its moment gap
+    # isolates how much of the SMF-vs-NUTS bias is the per-(node,time)
+    # factorization (round-4 verdict item 3).
+    from tame.inference.smoothed import (
+        fit_cavi_smoothed,
+        warm_init_smoothed_state,
+    )
+
+    sfit = jax.block_until_ready(fit_cavi_smoothed(
+        Y, params, warm_init_smoothed_state(Y, params),
+        max_iter=512, learning_rate=0.8, tolerance=1e-5,
+        corrected=True))
+    print(f"smoothed fit: {int(sfit.n_iter)} iters, converged="
+          f"{bool(sfit.converged)}", flush=True)
 
     # -- CAVI preconditioning + chain inits --------------------------------
     center, inv_mass = precondition_from_cavi(Y, params, seed=args.seed)
@@ -164,12 +185,17 @@ def main(argv=None):
     # -- SMF vs NUTS moment gap in identified (dyad-mean) space ------------
     mu_vi = np.asarray(
         dyad_ops.dyadic_fwd_temporal(fit.X_mean, r)[ii, jj, tt])
+    mu_sm = np.asarray(
+        dyad_ops.dyadic_fwd_temporal(sfit.state.X_mean, r)[ii, jj, tt])
     mu_nuts = scal2_h.reshape(-1, scal2_h.shape[-1]).mean(0)
     sd_nuts = scal2_h.reshape(-1, scal2_h.shape[-1]).std(0)
     mcse = sd_nuts / np.sqrt(np.maximum(ess, 1.0))
     gap = mu_vi - mu_nuts
     effect = np.abs(gap) / np.maximum(sd_nuts, 1e-8)
     z = np.abs(gap) / np.maximum(mcse, 1e-12)
+    gap_sm = mu_sm - mu_nuts
+    effect_sm = np.abs(gap_sm) / np.maximum(sd_nuts, 1e-8)
+    z_sm = np.abs(gap_sm) / np.maximum(mcse, 1e-12)
 
     result = {
         "config": {"n": n, "T": T, "r": r, "d": cfg.d,
@@ -194,6 +220,10 @@ def main(argv=None):
         "smf_effect_size_median": float(np.median(effect)),
         "smf_effect_size_max": float(effect.max()),
         "smf_z_median": float(np.median(z)),
+        "smoothed_gap_rms": float(np.sqrt((gap_sm ** 2).mean())),
+        "smoothed_effect_size_median": float(np.median(effect_sm)),
+        "smoothed_effect_size_max": float(effect_sm.max()),
+        "smoothed_z_median": float(np.median(z_sm)),
         "posterior_sd_median": float(np.median(sd_nuts)),
     }
     Path(args.out).write_text(json.dumps(result, indent=1))

@@ -249,9 +249,12 @@ def _cmd_sample(args) -> int:
                              num_stages=args.num_stages, seed=args.seed,
                              family=family)
         result = smc.sample()
+        ns = int(result.n_stages)
         print(f"SMC: {args.num_particles} particles, "
+              f"{ns} adaptive stages, "
               f"log-evidence = {float(result.log_evidence):.2f}, "
-              f"final ESS = {float(np.asarray(result.ess_history)[-1]):.1f}")
+              f"final ESS = "
+              f"{float(np.asarray(result.ess_history)[ns - 1]):.1f}")
     else:
         cls = TemporalAMENUTS if args.sampler == "nuts" else TemporalAMEHMC
         sampler = cls(model, num_chains=args.num_chains, seed=args.seed,
@@ -408,7 +411,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-warmup", type=int, default=200)
     p.add_argument("--num-samples", type=int, default=200)
     p.add_argument("--num-particles", type=int, default=256)
-    p.add_argument("--num-stages", type=int, default=20)
+    p.add_argument("--num-stages", type=int, default=200,
+                   help="stage BUFFER for the adaptive tempering "
+                        "schedule (the run stops when beta reaches 1)")
     p.set_defaults(fn=_cmd_sample)
 
     p = sub.add_parser(
