@@ -14,7 +14,9 @@ attempt documented in ``tridiag.py:33-49`` is not: every combine works
 with *covariance-form* conditional Gaussians (PSD matrices plus solves
 against ``I + C J`` whose eigenvalues are >= 1), so the exponential
 blow-up of homogeneous prefix products never appears.  Validated against
-the sequential solver to float32 tolerance at T up to 512 (tests).
+the sequential solver to float32 tolerance at T up to 2048 —
+11 combine levels, including the weak-information/high-phi corner
+(tests).
 
 **Measured on TPU** (``scripts/ptridiag_bench.py``, 2026-08-21): the
 vmapped sequential scan stays throughput-bound at practical shapes

@@ -234,3 +234,14 @@ def test_explicit_fused_with_parallel_smoother_raises():
     out = fit_cavi_smoothed(jnp.asarray(Y), model.params, st, max_iter=2,
                             smoother="parallel")
     assert int(out.n_iter) == 2
+
+
+@pytest.mark.slow
+def test_parallel_smoother_very_long_T():
+    """T = 2048 — the 'very long T' regime the module's docstring claims
+    as its value (round-4 verdict: validation previously stopped at
+    T = 512).  Exactness must hold through 11 scan levels, including
+    the weak-information/high-phi corner."""
+    t = TestParallelSmoother()
+    t._compare(2048)
+    t._compare(2048, phi=0.95, pscale=0.1, seed=2)
