@@ -45,6 +45,10 @@ def main(argv=None):
     ap.add_argument("--leapfrog", type=int, default=10)
     ap.add_argument("--step-scale", type=float, default=0.5)
     ap.add_argument("--replicates", type=int, default=4)
+    ap.add_argument("--stages-per-call", type=int, default=30,
+                    help="stages per device dispatch (segmented; keeps "
+                         "each dispatch under the worker's ~1-min kill "
+                         "window)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="SMC_BENCH.json")
     args = ap.parse_args(argv)
@@ -79,17 +83,31 @@ def main(argv=None):
     _, variances = precondition_from_cavi(Y, params, seed=args.seed)
     pscale = jnp.sqrt(variances)
 
+    kw = dict(num_particles=args.particles, num_stages=args.buffer,
+              num_moves=args.moves, step_scale=args.step_scale,
+              num_leapfrog=args.leapfrog, proposal_scale=pscale)
+
+    def run_segmented(seed):
+        """Short device dispatches (the TPU worker on this host kills
+        single dispatches beyond ~1 min) carried on device."""
+        res, seg = None, 0
+        while True:
+            res = jax.block_until_ready(run_smc(
+                params, Y, jax.random.PRNGKey(seed + 1000 * seg),
+                resume_from=res, max_new_stages=args.stages_per_call,
+                **kw))
+            seg += 1
+            ns = int(res.n_stages)
+            if ns >= args.buffer or \
+                    float(np.asarray(res.beta_history)[ns - 1]) >= 1.0:
+                return res
+
     evs, stage_counts, resamples, acc_means, ess_mins = [], [], [], [], []
     wall = []
     beta_first = beta_last = None
     for s in range(args.replicates):
         t0 = time.perf_counter()
-        res = run_smc(params, Y, jax.random.PRNGKey(100 + s),
-                      num_particles=args.particles,
-                      num_stages=args.buffer, num_moves=args.moves,
-                      step_scale=args.step_scale,
-                      num_leapfrog=args.leapfrog,
-                      proposal_scale=pscale)
+        res = run_segmented(100 + s)
         ev = float(res.log_evidence)        # scalar host fetch
         w = time.perf_counter() - t0
         ns = int(res.n_stages)
@@ -117,7 +135,9 @@ def main(argv=None):
                    "stage_buffer": args.buffer,
                    "moves": args.moves, "leapfrog": args.leapfrog,
                    "step_scale": args.step_scale,
-                   "replicates": args.replicates, "seed": args.seed,
+                   "replicates": args.replicates,
+                   "stages_per_call": args.stages_per_call,
+                   "seed": args.seed,
                    "backend": jax.default_backend(),
                    "schedule": "adaptive", "move_kernel": "hmc"},
         "log_evidence_mean": float(evs.mean()),

@@ -80,6 +80,8 @@ def run_smc(params: AMEParams, Y: Array, key: Array, *,
             obs_mask: Optional[Array] = None,
             move_kernel: str = "hmc", num_leapfrog: int = 10,
             schedule: str = "adaptive",
+            resume_from: Optional[SMCResult] = None,
+            max_new_stages: Optional[int] = None,
             family=None) -> SMCResult:
     """Run tempered SMC; see module docstring.
 
@@ -102,6 +104,18 @@ def run_smc(params: AMEParams, Y: Array, key: Array, *,
     the likelihood turns on and the evidence estimate degrades
     catastrophically (measured; see module docstring).  ``"linear"``
     reproduces the fixed ``linspace`` schedule.
+
+    ``resume_from``/``max_new_stages`` segment the sweep across
+    multiple calls: pass a previous call's ``SMCResult`` (same
+    ``num_stages`` buffer) to continue its run, optionally bounding the
+    stages THIS call may add — the population, weights, evidence
+    accumulator, temperature and histories all carry over on device.
+    Use for checkpointed long runs, or to keep individual device
+    dispatches short (this host's TPU worker kills single dispatches
+    beyond ~1 minute; ``scripts/smc_bench.py``).  Each call draws fresh
+    move randomness from ``key``, so a segmented run equals an
+    unsegmented one in distribution, not bitwise — pass a distinct
+    ``key`` per segment.
     """
     if move_kernel not in ("hmc", "rwm"):
         raise ValueError(f"unknown move_kernel {move_kernel!r}; choose "
@@ -118,9 +132,12 @@ def run_smc(params: AMEParams, Y: Array, key: Array, *,
         proposal_scale = jnp.broadcast_to(prior_std, (n, T, d))
 
     k_init, k_stages = jax.random.split(key)
-    particles = jax.vmap(
-        lambda k: sample_latents(params, k, n, T)
-    )(jax.random.split(k_init, num_particles))               # (N, n, T, d)
+    if resume_from is None:
+        particles = jax.vmap(
+            lambda k: sample_latents(params, k, n, T)
+        )(jax.random.split(k_init, num_particles))           # (N, n, T, d)
+    else:
+        particles = resume_from.particles
 
     loglik = jax.vmap(
         lambda X: log_likelihood(params, Y, X, consts, obs_mask=obs_mask,
@@ -199,11 +216,20 @@ def run_smc(params: AMEParams, Y: Array, key: Array, *,
                          jnp.maximum(lo, hi0 * 1e-6))
 
     max_stages = num_stages
+    if resume_from is not None:
+        stage0 = resume_from.n_stages
+    else:
+        stage0 = jnp.asarray(0)
+    if max_new_stages is not None:
+        stage_cap = jnp.minimum(jnp.asarray(max_stages),
+                                stage0 + max_new_stages)
+    else:
+        stage_cap = jnp.asarray(max_stages)
 
     def cond(carry):
         (particles, lw, logev, beta, stage, nres, ess_h, acc_h,
          beta_h, k) = carry
-        return jnp.logical_and(beta < 1.0, stage < max_stages)
+        return jnp.logical_and(beta < 1.0, stage < stage_cap)
 
     def body(carry):
         (particles, lw, logev, beta, stage, nres, ess_h, acc_h,
@@ -260,9 +286,20 @@ def run_smc(params: AMEParams, Y: Array, key: Array, *,
                 acc_h, beta_h, k)
 
     nanbuf = jnp.full((max_stages,), jnp.nan)
-    carry = (particles, jnp.zeros(num_particles), jnp.asarray(0.0),
-             jnp.asarray(0.0), jnp.asarray(0), jnp.asarray(0),
-             nanbuf, nanbuf, nanbuf, k_stages)
+    if resume_from is None:
+        carry = (particles, jnp.zeros(num_particles), jnp.asarray(0.0),
+                 jnp.asarray(0.0), jnp.asarray(0), jnp.asarray(0),
+                 nanbuf, nanbuf, nanbuf, k_stages)
+    else:
+        r = resume_from
+        # normalized log weights carry over unchanged: ESS, softmax and
+        # the evidence increments are all invariant to the constant
+        beta_now = jnp.where(
+            stage0 > 0, r.beta_history[jnp.maximum(stage0 - 1, 0)], 0.0)
+        carry = (particles, r.log_weights, r.log_evidence,
+                 beta_now, stage0, r.n_resamples,
+                 r.ess_history, r.accept_history, r.beta_history,
+                 k_stages)
     (particles, log_weights, log_evidence, beta, n_stages, nres,
      ess_hist, acc_hist, beta_hist, _) = jax.lax.while_loop(cond, body,
                                                             carry)

@@ -189,6 +189,48 @@ class TestSMC:
         assert betas[-1] == pytest.approx(1.0)
         assert np.all(np.diff(betas) > 0)
 
+    def test_smc_segmented_resume(self, tiny):
+        """resume_from/max_new_stages: a sweep split across calls must
+        carry the temperature, weights and evidence on device and end
+        at beta = 1 with a consistent estimate (used to keep device
+        dispatches short; tame/inference/smc.py docstring)."""
+        from tame.inference.smc import run_smc
+
+        model, Y, X = tiny
+        kw = dict(num_particles=64, num_stages=64, num_moves=2)
+        full = run_smc(model.params, jnp.asarray(Y),
+                       jax.random.PRNGKey(5), **kw)
+        res, seg = None, 0
+        while res is None or (
+                float(np.asarray(res.beta_history)[
+                    int(res.n_stages) - 1]) < 1.0
+                and int(res.n_stages) < 64):
+            res = run_smc(model.params, jnp.asarray(Y),
+                          jax.random.PRNGKey(50 + seg),
+                          resume_from=res, max_new_stages=2, **kw)
+            seg += 1
+        assert seg > 1
+        ns = int(res.n_stages)
+        assert float(np.asarray(res.beta_history)[ns - 1]) \
+            == pytest.approx(1.0)
+        # same estimator in distribution; at this toy config the
+        # estimator's own inter-key std is ~100 nats (measured), so the
+        # consistency bound is correspondingly loose
+        assert abs(float(res.log_evidence) - float(full.log_evidence)) \
+            < 500.0
+        # carry marshalling is exact: a zero-stage resume is a bitwise
+        # no-op on every field
+        noop = run_smc(model.params, jnp.asarray(Y),
+                       jax.random.PRNGKey(99), resume_from=res,
+                       max_new_stages=0, **kw)
+        assert np.array_equal(np.asarray(noop.particles),
+                              np.asarray(res.particles))
+        assert float(noop.log_evidence) == float(res.log_evidence)
+        assert int(noop.n_stages) == ns
+        assert np.array_equal(np.asarray(noop.beta_history),
+                              np.asarray(res.beta_history),
+                              equal_nan=True)
+
     def test_smc_posterior_tracks_truth(self, tiny):
         """The SMC posterior-mean dyadic structure should correlate with the
         observed data far better than the prior mean (zero)."""
