@@ -74,6 +74,33 @@ class BernoulliFitResult(NamedTuple):
     pat_count: Array = 0
 
 
+def solve_direct(P: Array, eta: Array) -> tuple:
+    """``mu = P^-1 eta`` via the direct Cholesky solve, covariance with
+    RELATIVE symmetrize-jitter.
+
+    The Gaussian engines' ``cavi._solve_full`` reproduces the
+    reference's quirk of computing the mean THROUGH the jittered
+    covariance (``structured_mf.py:266-279``) with a fixed absolute
+    1e-6 jitter — harmless at parity scales (covariances ~0.1) but
+    catastrophic for the weighted engines: heavy-count Poisson dyads
+    produce pseudo-precisions ~1e5, covariances ~1e-5, and the absolute
+    jitter then perturbs the mean update by ~10% — measured to turn the
+    exact natural-gradient ASCENT direction into descent (f64 check:
+    g' P^-1 g = +1.2e6 while the jittered-path direction gave -1.8e6),
+    stalling every n >= 128 Poisson fit.  The non-Gaussian engines have
+    no parity constraint, so they use the direct solve and scale the
+    covariance jitter to each block's own diagonal magnitude.
+    """
+    from tame.ops.cholesky import batched_spd_solve_inv
+
+    mu, cov_raw = batched_spd_solve_inv(P, eta)
+    cov = 0.5 * (cov_raw + jnp.swapaxes(cov_raw, -1, -2))
+    scale = jnp.mean(jnp.diagonal(cov, axis1=-2, axis2=-1),
+                     axis=-1)[..., None, None]
+    eye = jnp.eye(cov.shape[-1], dtype=cov.dtype)
+    return mu, cov + 1e-6 * jnp.abs(scale) * eye
+
+
 def _lam(xi: Array) -> Array:
     """Jaakkola-Jordan lambda(xi) = tanh(xi/2)/(4 xi), lambda(0) = 1/8."""
     safe = jnp.maximum(jnp.abs(xi), 1e-6)
@@ -115,16 +142,16 @@ def _contract(L: Array, Z: Array) -> Array:
 
 
 def weighted_obs_terms(mu: Array, r: int, w: Array,
-                       s: Array) -> tuple:
+                       s: Array, cov: Optional[Array] = None) -> tuple:
     """Observation precision and natural parameter of a quadratic
     pseudo-likelihood over directed dyads.
 
     Every bound/surrogate-based engine (Jaakkola-Jordan Bernoulli, CVI
     Poisson — mean-field or smoothed) reduces each directed dyad to
-    ``s_ij m_ij - (w_ij / 2) m_ij^2`` with per-dyad precision ``w`` and
-    linear coefficient ``s`` (both (n, n, T), pre-gated by the
-    observation mask).  Given the current means ``mu`` (n, T, d) this
-    assembles, per (node, time):
+    ``s_ij m_ij - (w_ij / 2) E[m_ij^2]``-shaped terms with per-dyad
+    precision ``w`` and linear coefficient ``s`` (both (n, n, T),
+    pre-gated by the observation mask).  Given the current means ``mu``
+    (n, T, d) this assembles, per (node, time):
 
     * ``P_obs``: sender-side contractions of ``w`` against
       ``[1 | V_j | V_j V_j']`` filling the [a, U] blocks, receiver-side
@@ -135,6 +162,30 @@ def weighted_obs_terms(mu: Array, r: int, w: Array,
       offsets (``w b_j`` sender side / ``w a_i`` receiver side),
       contracted against the partner factors.
 
+    ``cov`` (the current (n, T, d, d) covariances) enables the
+    SECOND-ORDER terms: ``Var_q(m_ij)`` depends on node i's own
+    parameters not only through its covariance blocks but also through
+    the PARTNER-covariance quadratic forms ``U_i' Cov_j[VV] U_i`` and
+    ``2 Cov_j[b,V] . U_i`` — so the exact per-node derivatives of the
+    expected/bounded likelihood gain, relative to the means-only
+    assembly:
+
+        P[UU block]  += sum_j w_ij Cov_j[VV]      (and VV <- Cov[UU]
+                                                   on the receiver side)
+        eta[U]       -= sum_j w_ij Cov_j[b, V]    (the Cov_j[VV] U_i
+                                                   gradient term cancels
+                                                   against the new
+                                                   precision's mean pull)
+
+    each one extra aggregated ``w`` contraction against an (r + r^2)-
+    column partner panel.  Omitting them (cov=None) biases the fixed
+    point slightly AND — when weights are large, e.g. Poisson dyads
+    with heavy-tailed counts — can turn the update into a DESCENT
+    direction of the exact objective (measured: the n >= 128 Poisson
+    fit stalls with every proposal rejected; with the correction it
+    converges).  Mean-field engines pass their covariances; the
+    smoothed engines pass marginal covariances.
+
     Returns ``(P_obs, eta_obs)`` WITHOUT prior terms — the caller adds
     its own (per-time precision for mean-field engines, the
     block-tridiagonal chain for smoothed ones).
@@ -143,11 +194,23 @@ def weighted_obs_terms(mu: Array, r: int, w: Array,
     a, b, U, V = dyad_ops.split_state(mu, r)
     VV = (V[..., :, None] * V[..., None, :]).reshape(n, T, r * r)
     UU = (U[..., :, None] * U[..., None, :]).reshape(n, T, r * r)
-    Cs = _contract(w, jnp.concatenate(
-        [jnp.ones((n, T, 1)), V, VV], axis=-1))
     wt = jnp.swapaxes(w, 0, 1)
-    Cr_ = _contract(wt, jnp.concatenate(
-        [jnp.ones((n, T, 1)), U, UU], axis=-1))
+    if cov is not None:
+        # partner panels: Cov[b, V] / Cov[VV] for the sender side,
+        # Cov[a, U] / Cov[UU] for the receiver side
+        CbV = cov[..., 1, 2 + r:]
+        CVV = cov[..., 2 + r:, 2 + r:].reshape(n, T, r * r)
+        CaU = cov[..., 0, 2:2 + r]
+        CUU = cov[..., 2:2 + r, 2:2 + r].reshape(n, T, r * r)
+        Cs = _contract(w, jnp.concatenate(
+            [jnp.ones((n, T, 1)), V, VV + CVV, CbV], axis=-1))
+        Cr_ = _contract(wt, jnp.concatenate(
+            [jnp.ones((n, T, 1)), U, UU + CUU, CaU], axis=-1))
+    else:
+        Cs = _contract(w, jnp.concatenate(
+            [jnp.ones((n, T, 1)), V, VV], axis=-1))
+        Cr_ = _contract(wt, jnp.concatenate(
+            [jnp.ones((n, T, 1)), U, UU], axis=-1))
 
     P = jnp.zeros((n, T, d, d))
     P = P.at[..., 0, 0].set(Cs[..., 0])
@@ -157,17 +220,22 @@ def weighted_obs_terms(mu: Array, r: int, w: Array,
     sWU = Cr_[..., 1:1 + r]
     P = P.at[..., 1, 2 + r:].set(sWU).at[..., 2 + r:, 1].set(sWU)
     P = P.at[..., 2:2 + r, 2:2 + r].set(
-        Cs[..., 1 + r:].reshape(n, T, r, r))
+        Cs[..., 1 + r:1 + r + r * r].reshape(n, T, r, r))
     P = P.at[..., 2 + r:, 2 + r:].set(
-        Cr_[..., 1 + r:].reshape(n, T, r, r))
+        Cr_[..., 1 + r:1 + r + r * r].reshape(n, T, r, r))
 
     S_ = s - w * b[None, :, :]
     W_ = s - w * a[:, None, :]
+    eta_U = _contract(S_, V)
+    eta_V = _contract(jnp.swapaxes(W_, 0, 1), U)
+    if cov is not None:
+        eta_U = eta_U - Cs[..., 1 + r + r * r:]
+        eta_V = eta_V - Cr_[..., 1 + r + r * r:]
     eta = jnp.concatenate([
         S_.sum(1)[..., None],                               # eta_a
         W_.sum(0)[..., None],                               # eta_b
-        _contract(S_, V),                                   # eta_U
-        _contract(jnp.swapaxes(W_, 0, 1), U),               # eta_V
+        eta_U,
+        eta_V,
     ], axis=-1)
     return P, eta
 
@@ -202,11 +270,12 @@ def bernoulli_step(state: cavi.CaviState, y0: Array, offd: Array,
            / jnp.maximum(jnp.sum(offd), 1.0))
 
     # -- weighted observation terms (precision 2 lam, coeff y - 1/2) ------
-    P, eta = weighted_obs_terms(state.X_mean, r, 2.0 * lam, resid)
+    P, eta = weighted_obs_terms(state.X_mean, r, 2.0 * lam, resid,
+                                cov=state.X_cov)
     P = P + cavi._prior_precision(pri, T)[None]
     eta = eta + cavi._prior_nat_param(pri, state.X_mean)
 
-    mu_new, cov_new = cavi._solve_full(P, eta)
+    mu_new, cov_new = solve_direct(P, eta)
     X_mean = lr * mu_new + (1.0 - lr) * state.X_mean
     X_cov = lr * cov_new + (1.0 - lr) * state.X_cov
     return cavi.CaviState(X_mean=X_mean, X_cov=X_cov), bound, acc

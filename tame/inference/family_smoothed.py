@@ -129,7 +129,8 @@ def _smoothed_update(state: SmoothedState, w: Array, s: Array,
     to the means only; covariances refresh from each solve."""
     n, T, d = state.X_mean.shape
     r = (d - 2) // 2
-    P_obs, eta_obs = weighted_obs_terms(state.X_mean, r, w, s)
+    P_obs, eta_obs = weighted_obs_terms(state.X_mean, r, w, s,
+                                        cov=state.X_cov)
     D = P_obs + cavi._prior_precision(pri, T)[None]
     O = -pri.Qinv_Phi.T
     out = jax.vmap(lambda Di, bi: block_tridiag_smoother(Di, O, bi))(

@@ -76,6 +76,7 @@ from jax import Array
 from tame.inference import cavi
 from tame.inference.binary_cavi import (
     _predictor_moments,
+    solve_direct,
     weighted_obs_terms,
 )
 from tame.models.params import AMEParams
@@ -145,11 +146,12 @@ def _cvi_update(state: cavi.CaviState, y0: Array, offd: Array,
     # surrogate coefficient on m: y - w + w mu (weighted_obs_terms then
     # subtracts the partner-offset pulls w b_j / w a_i).
     resid = (y0 - w + w * m) * offd
-    P, eta = weighted_obs_terms(state.X_mean, r, w, resid)
+    P, eta = weighted_obs_terms(state.X_mean, r, w, resid,
+                                cov=state.X_cov)
     P = P + cavi._prior_precision(pri, T)[None]
     eta = eta + cavi._prior_nat_param(pri, state.X_mean)
 
-    mu_new, cov_new = cavi._solve_full(P, eta)
+    mu_new, cov_new = solve_direct(P, eta)
     X_mean = lr * mu_new + (1.0 - lr) * state.X_mean
     X_cov = lr * cov_new + (1.0 - lr) * state.X_cov
     return cavi.CaviState(X_mean=X_mean, X_cov=X_cov)

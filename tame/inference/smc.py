@@ -340,7 +340,7 @@ class TemporalAMESMC:
         # Optional dyad observation mask (missing-data posterior).
         self.mask = None if mask is None else jnp.asarray(mask)
 
-    def sample(self, mesh=None) -> SMCResult:
+    def sample(self, mesh=None, stages_per_call=None) -> SMCResult:
         """Run the tempered-SMC sweep.
 
         With ``mesh``, the particle population is sharded over the
@@ -349,7 +349,12 @@ class TemporalAMESMC:
         collectives, and the systematic-resampling gather
         (``particles[idx]``) is lowered by GSPMD to an all-gather +
         local index-select — the collective pattern the north star asks
-        for (resampling via all-gather)."""
+        for (resampling via all-gather).
+
+        ``stages_per_call`` splits the sweep into bounded device
+        dispatches carried on device (``run_smc(resume_from=...)``) —
+        use on hosts that kill long single dispatches (CLAUDE.md) or
+        for very long adaptive schedules."""
         proposal_scale = None
         if self.precondition:
             from tame.inference.hmc import precondition_from_cavi
@@ -380,15 +385,31 @@ class TemporalAMESMC:
                                   num_moves=self.num_moves,
                                   family=self.family),
                 out_shardings=out_shardings)
-            return run(self.model.params, Y, key,
+            Yd = Y
+        else:
+            run = functools.partial(run_smc,
+                                    num_particles=self.num_particles,
+                                    num_stages=self.num_stages,
+                                    num_moves=self.num_moves,
+                                    family=self.family)
+            Yd = self.Y
+        if stages_per_call is None:
+            return run(self.model.params, Yd, key,
                        proposal_scale=proposal_scale,
                        obs_mask=self.mask)
-        return run_smc(self.model.params, self.Y, key,
-                       num_particles=self.num_particles,
-                       num_stages=self.num_stages,
-                       num_moves=self.num_moves,
-                       proposal_scale=proposal_scale,
-                       obs_mask=self.mask, family=self.family)
+        import numpy as np
+
+        res, seg = None, 0
+        while True:
+            res = jax.block_until_ready(run(
+                self.model.params, Yd, jax.random.fold_in(key, seg),
+                proposal_scale=proposal_scale, obs_mask=self.mask,
+                resume_from=res, max_new_stages=stages_per_call))
+            seg += 1
+            ns = int(res.n_stages)
+            if ns >= self.num_stages or \
+                    float(np.asarray(res.beta_history)[ns - 1]) >= 1.0:
+                return res
 
     def posterior_mean(self, result: SMCResult) -> Array:
         w = jax.nn.softmax(result.log_weights)

@@ -1667,7 +1667,7 @@ class TestPoissonCVI:
         from tame.inference import fit_cavi_poisson
 
         p, Y, X, init = self._data(n=14, T=4, seed=2)
-        out = fit_cavi_poisson(Y, p, init, max_iter=300,
+        out = fit_cavi_poisson(Y, p, init, max_iter=500,
                                learning_rate=0.7, tolerance=1e-6)
         assert not bool(out.diverged)
         assert bool(out.converged)
