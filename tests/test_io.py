@@ -433,7 +433,7 @@ class TestKarateClub:
             return float(np.mean(2 * (ylogy - (y0[sel] - rates))))
 
         base = (y0 * fitmask).sum() / fitmask.sum()
-        # measured: 1.24 vs 1.35
+        # measured: 1.12 vs 1.35
         assert mean_dev(rate) < mean_dev(np.full(sel.sum(), base))
 
     def test_latents_recover_real_factions(self, karate_fit):
