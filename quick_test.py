@@ -24,6 +24,12 @@ REQUIRED = [
     "tame/inference/hmc.py",
     "tame/inference/nuts.py",
     "tame/inference/smc.py",
+    "tame/inference/binary_cavi.py",
+    "tame/inference/poisson_cavi.py",
+    "tame/inference/family_smoothed.py",
+    "tame/inference/evidence.py",
+    "tame/io/datasets.py",
+    "data/karate.csv",
     "tame/ops/fused_fit.py",
     "tame/ops/fused_smoother.py",
     "tame/io/cstore.cpp",
@@ -59,7 +65,11 @@ def main() -> int:
         from tame.inference import (  # noqa
             TemporalAMENaiveMFVI, TemporalAMEStructuredMFVI)
         from tame.inference import fit_em  # noqa
-        from tame.io import edgelist_to_tensors  # noqa
+        from tame.inference import (  # noqa
+            TemporalAMEBernoulliVI, TemporalAMEPoissonVI,
+            fit_smoothed_family)
+        from tame.inference.evidence import exact_elbo  # noqa
+        from tame.io import edgelist_to_tensors, load_karate_club  # noqa
         from tame.models import random_dyad_mask  # noqa
         from tame import utils, visualization  # noqa
         from tame.experiments import utils as exp_utils  # noqa

@@ -12,10 +12,12 @@ predictor
 and the probabilistic-programming surface (``tame.inference.logprob``,
 HMC/NUTS/SMC) accepts any declared family.  The Gaussian CAVI engines
 remain Gaussian-only — their closed-form coordinate updates ARE the
-Gaussian conjugacy (``tame/inference/cavi.py``); binary ties have a
-dedicated bound-based VI engine
-(``tame.inference.binary_cavi.TemporalAMEBernoulliVI``) and Poisson
-counts go through the samplers.
+Gaussian conjugacy (``tame/inference/cavi.py``) — but both non-Gaussian
+built-ins have dedicated VI engines (JJ-bound
+``tame.inference.binary_cavi.TemporalAMEBernoulliVI``, guarded-CVI
+``tame.inference.poisson_cavi.TemporalAMEPoissonVI``), smoothed
+trajectory variants (``tame.inference.family_smoothed``), and EM
+support (``fit_em(family=...)``).
 
 Families ship with:
 
