@@ -30,7 +30,10 @@ from tame.visualization.temporal import (
     plot_temporal_contributions,
     plot_trajectory_comparison,
 )
-from tame.visualization.mcmc import plot_chain_diagnostics
+from tame.visualization.mcmc import (
+    plot_chain_diagnostics,
+    plot_smc_diagnostics,
+)
 from tame.visualization.comparison import (
     add_correlation_panels_to_figure,
     plot_computational_efficiency,
@@ -43,6 +46,7 @@ from tame.visualization.comparison import (
 
 __all__ = [
     "plot_chain_diagnostics",
+    "plot_smc_diagnostics",
     "plot_convergence",
     "plot_network",
     "plot_latent_space",

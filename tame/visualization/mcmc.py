@@ -94,3 +94,46 @@ def plot_chain_diagnostics(positions, logdensities=None, n_worst: int = 3,
     if save_path:
         fig.savefig(save_path, dpi=120, bbox_inches="tight")
     return fig
+
+
+def plot_smc_diagnostics(result, figsize=(14, 4),
+                         save_path: Optional[str] = None) -> Figure:
+    """Three-panel report for an adaptive-tempered SMC run
+    (:func:`tame.inference.smc.run_smc` / ``TemporalAMESMC.sample``):
+    the realized temperature schedule (log scale — adaptive schedules
+    spend most stages at small beta), the particle-ESS trajectory
+    against the resampling threshold, and the per-stage move
+    acceptance.  NaN-padded history slots past ``n_stages`` are
+    dropped."""
+    ns = int(result.n_stages)
+    betas = np.asarray(result.beta_history)[:ns]
+    ess = np.asarray(result.ess_history)[:ns]
+    acc = np.asarray(result.accept_history)[:ns]
+    stages = np.arange(1, ns + 1)
+
+    fig, axes = plt.subplots(1, 3, figsize=figsize)
+    axes[0].semilogy(stages, np.maximum(betas, 1e-12))
+    axes[0].set_xlabel("stage")
+    axes[0].set_ylabel(r"$\beta$ (log scale)")
+    axes[0].set_title(f"temperature schedule ({ns} stages)")
+
+    axes[1].plot(stages, ess)
+    n_particles = int(np.asarray(result.log_weights).shape[0])
+    axes[1].axhline(0.5 * n_particles, ls="--", color="gray",
+                    label="resample threshold")
+    axes[1].set_xlabel("stage")
+    axes[1].set_ylabel("particle ESS")
+    axes[1].set_title(
+        f"ESS ({int(result.n_resamples)} resampling events)")
+    axes[1].legend()
+
+    axes[2].plot(stages, acc)
+    axes[2].set_ylim(0, 1)
+    axes[2].set_xlabel("stage")
+    axes[2].set_ylabel("move acceptance")
+    axes[2].set_title(
+        f"MCMC moves (log-evidence {float(result.log_evidence):.1f})")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+    return fig

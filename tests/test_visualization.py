@@ -257,3 +257,26 @@ class TestPCAProjection:
         fig = plot_latent_space(M)
         assert "Dimension 1" in fig.axes[0].get_xlabel()
         plt.close(fig)
+
+
+def test_plot_smc_diagnostics(tmp_path):
+    """SMC run report (tame/visualization/mcmc.py): consumes the
+    adaptive-schedule result fields (NaN-padded histories, n_stages)."""
+    import jax
+
+    from tame.inference import TemporalAMESMC
+    from tame.models import TemporalAMEModel
+    from tame.visualization import plot_smc_diagnostics
+
+    model = TemporalAMEModel(n_nodes=5, n_time=2, latent_dim=1, seed=0)
+    model.generate_data()
+    smc = TemporalAMESMC(model, num_particles=32, num_stages=32,
+                         num_moves=1, seed=0)
+    result = smc.sample()
+    out = tmp_path / "smc.png"
+    fig = plot_smc_diagnostics(result, save_path=str(out))
+    assert fig is not None
+    assert out.exists()
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
