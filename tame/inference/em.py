@@ -332,9 +332,14 @@ def fit_em(Y: Array, params0: AMEParams, *,
     n, _, T, _ = Y.shape
     d = params0.d
     params = params0
-    if family not in ("gaussian", "bernoulli", "poisson"):
-        raise ValueError(f"unknown family {family!r}; choose from "
-                         "('gaussian', 'bernoulli', 'poisson')")
+    if isinstance(family, str):
+        if family not in ("gaussian", "bernoulli", "poisson"):
+            raise ValueError(f"unknown family {family!r}; choose from "
+                             "('gaussian', 'bernoulli', 'poisson')")
+    elif not hasattr(family, "vi_surrogate"):
+        raise ValueError(
+            "custom family must implement vi_surrogate (see "
+            "tame.models.likelihoods) to serve as an EM E-step")
     if family != "gaussian":
         learn = tuple(k for k in learn if k != "R")
     if mask is not None:

@@ -49,11 +49,9 @@ from jax import Array
 
 from tame.inference import cavi
 from tame.inference.binary_cavi import (
-    _lam,
     _predictor_moments,
     weighted_obs_terms,
 )
-from tame.inference.poisson_cavi import _EXP_CLIP
 from tame.inference.smoothed import (
     SmoothedState,
     smoothed_prior_entropy,
@@ -74,50 +72,36 @@ class SmoothedFamilyResult(NamedTuple):
     diverged: Array
 
 
-def warm_init_smoothed_family(Y: Array, params: AMEParams, family: str,
+def warm_init_smoothed_family(Y: Array, params: AMEParams, family,
                               obs_mask: Optional[Array] = None
                               ) -> SmoothedState:
     """Link-linearized warm start: transform the observations into
     pseudo-Gaussian observations of the predictor (logit linearization
     ``4 (y - 1/2)`` for Bernoulli, ``log(y + 1/2)`` for Poisson — the
     same transforms the mean-field engine classes use) and run the
-    closed-form Gaussian warm start."""
+    closed-form Gaussian warm start.
+
+    Custom family objects may declare ``warm_transform(Y) -> Z``
+    (pseudo-Gaussian observations of the predictor); without one the
+    raw observations are used (a first-order identity link)."""
     if family == "bernoulli":
         Z = 4.0 * (Y - 0.5)
     elif family == "poisson":
         Z = jnp.log(Y + 0.5)
-    else:
+    elif isinstance(family, str):
         raise ValueError(f"unknown family {family!r}; choose from "
                          f"{FAMILIES}")
+    elif hasattr(family, "warm_transform"):
+        Z = family.warm_transform(Y)
+    else:
+        Z = Y
     return warm_init_smoothed_state(Z, params, obs_mask=obs_mask)
 
 
-def _family_terms(family: str, y0: Array, logyfac: Array, offd: Array,
-                  m: Array, var: Array) -> tuple:
-    """Per-dyad quadratic pseudo-likelihood ``(loglik, w, s)`` at the
-    current predictor moments: the summed (expected/bounded)
-    log-likelihood, the pseudo-precision ``w`` and linear coefficient
-    ``s`` consumed by ``weighted_obs_terms``."""
-    if family == "bernoulli":
-        Em2 = m * m + var
-        xi = jnp.sqrt(jnp.maximum(Em2, 1e-12))
-        lam = _lam(xi) * offd
-        resid = (y0 - 0.5) * offd
-        loglik = jnp.sum(offd * (resid * m - lam * Em2 + xi / 2.0
-                                 - jax.nn.softplus(xi) + lam * xi * xi))
-        return loglik, 2.0 * lam, resid
-    # poisson
-    w = jnp.exp(jnp.clip(m + 0.5 * var, -_EXP_CLIP, _EXP_CLIP)) * offd
-    loglik = jnp.sum(offd * (y0 * m - logyfac) - w)
-    s = (y0 - w + w * m) * offd
-    return loglik, w, s
-
-
-def _evaluate(family: str, state: SmoothedState, y0, logyfac, offd,
-              pri, params):
+def _evaluate(family, state: SmoothedState, y0, offd, pri, params):
     r = (state.X_mean.shape[-1] - 2) // 2
     m, var = _predictor_moments(state, r)
-    loglik, w, s = _family_terms(family, y0, logyfac, offd, m, var)
+    loglik, w, s = family.vi_surrogate(y0, offd, m, var)
     prior0, priort, entropy = smoothed_prior_entropy(params, pri, state)
     return loglik + prior0 + priort + entropy, w, s
 
@@ -151,13 +135,18 @@ def fit_smoothed_family(Y: Array, params: AMEParams,
     inside one compiled guarded loop.
 
     ``Y``: the (n, n, T, 2) reciprocal layout (component 0 — the full
-    ordered adjacency — is read); ``family``: ``"bernoulli"`` or
-    ``"poisson"``; ``mask``: optional (n, n, T) observation gate
-    (missing dyads are never read, NaN-coding safe).
+    ordered adjacency — is read); ``family``: ``"bernoulli"``,
+    ``"poisson"``, or ANY object implementing the ``vi_surrogate``
+    protocol (``tame.models.likelihoods`` module docstring) — the seam
+    that gives custom declared likelihoods trajectory-smoothed VI (and,
+    through ``fit_em(family=...)``, dynamics EM) without touching the
+    engine; ``mask``: optional (n, n, T) observation gate (missing
+    dyads are never read, NaN-coding safe).
+
+    The family object is a static (hashable) argument of the compiled
+    loop: reuse ONE instance across calls to avoid recompilation.
     """
-    if family not in FAMILIES:
-        raise ValueError(f"unknown family {family!r}; choose from "
-                         f"{FAMILIES}")
+    family = _resolve_family(family)
     buf = 64
     while buf < max_iter:
         buf *= 2
@@ -168,10 +157,35 @@ def fit_smoothed_family(Y: Array, params: AMEParams,
                             patience=patience, mask=mask)
 
 
+_FAMILY_SINGLETONS: dict = {}
+
+
+def _resolve_family(family):
+    """Resolve names to CACHED singleton instances (the family is a
+    static jit argument — a fresh instance per call would recompile)
+    and validate the protocol on custom objects."""
+    if isinstance(family, str):
+        if family not in _FAMILY_SINGLETONS:
+            from tame.models.likelihoods import get_family
+
+            fam = get_family(family)
+            if not hasattr(fam, "vi_surrogate"):
+                raise ValueError(
+                    f"family {family!r} declares no vi_surrogate — no "
+                    f"VI path (built-ins with one: {FAMILIES})")
+            _FAMILY_SINGLETONS[family] = fam
+        return _FAMILY_SINGLETONS[family]
+    if not hasattr(family, "vi_surrogate"):
+        raise ValueError(
+            "custom family must implement vi_surrogate(y0, offd, m, "
+            "var) -> (loglik, w, s); see tame.models.likelihoods")
+    return family
+
+
 @functools.partial(jax.jit, static_argnames=("family", "buf_size",
                                              "patience"))
 def _fit_family_impl(Y, params, init, max_iter, lr, tol, *,
-                     family: str, buf_size: int, patience: int,
+                     family, buf_size: int, patience: int,
                      mask=None) -> SmoothedFamilyResult:
     n, _, T, _ = Y.shape
     offd = jnp.broadcast_to(dyad_ops.offdiag_mask(n)[:, :, None],
@@ -180,8 +194,6 @@ def _fit_family_impl(Y, params, init, max_iter, lr, tol, *,
         offd = offd * jnp.asarray(mask, jnp.float32)
     # where (not multiplication): NaN-coded missing entries stay unread
     y0 = jnp.where(offd > 0, Y[..., 0], 0.0)
-    logyfac = (jax.lax.lgamma(y0 + 1.0) if family == "poisson"
-               else jnp.zeros(()))
     pri = cavi.precompute_priors(params)
 
     def cond(carry):
@@ -191,8 +203,7 @@ def _fit_family_impl(Y, params, init, max_iter, lr, tol, *,
 
     def body(carry):
         (state, base, e_base, scale, it, pat, conv, div, eh) = carry
-        elbo, w, s = _evaluate(family, state, y0, logyfac, offd, pri,
-                               params)
+        elbo, w, s = _evaluate(family, state, y0, offd, pri, params)
         slack = 1e-4 * jnp.abs(e_base) + 1.0
         bad = jnp.logical_or(
             jnp.logical_not(jnp.isfinite(elbo)),
@@ -206,8 +217,7 @@ def _fit_family_impl(Y, params, init, max_iter, lr, tol, *,
         # recompute for the base state
         w, s = jax.lax.cond(
             bad,
-            lambda: _evaluate(family, nxt, y0, logyfac, offd, pri,
-                              params)[1:],
+            lambda: _evaluate(family, nxt, y0, offd, pri, params)[1:],
             lambda: (w, s))
         prop = _smoothed_update(nxt, w, s, pri, params, lr * scale)
 

@@ -27,6 +27,19 @@ Families ship with:
   Jit/grad-compatible (drives the samplers).
 * ``sample(key, params, mu)`` — dyad observations given the predictor,
   in the same reciprocal layout (``Y[i,j,t] = [y_ij, y_ji]``).
+* optionally ``vi_surrogate(y0, offd, m, var)`` — the quadratic
+  variational surrogate that plugs the family into the VI/EM layer
+  (:func:`tame.inference.family_smoothed.fit_smoothed_family`,
+  ``fit_em(family=...)``): given the per-directed-dyad observations
+  ``y0`` (n, n, T), the observation gate ``offd``, and the current
+  posterior predictor moments ``m``/``var``, return ``(loglik, w, s)``
+  — the summed expected (or lower-bounded) log-likelihood, the per-dyad
+  pseudo-precision, and the linear coefficient such that each dyad
+  contributes ``s m - (w/2) m^2`` to the coordinate objective (see
+  ``tame.inference.binary_cavi.weighted_obs_terms``).  A family with
+  this one extra method gets trajectory-smoothed VI and dynamics EM
+  for free; ``bernoulli`` implements the Jaakkola-Jordan bound,
+  ``poisson`` the exact-ELBO CVI surrogate.
 
 ``gaussian`` reproduces the framework's existing likelihood exactly
 (including the exchangeable-R quadratic form).  ``poisson`` (log link)
@@ -121,6 +134,16 @@ class PoissonDyadic(_IndependentDirections):
     def _entry_sample(self, key, mu):
         return jax.random.poisson(key, jnp.exp(mu))
 
+    def vi_surrogate(self, y0, offd, m, var):
+        """Exact-ELBO CVI surrogate (tame.inference.poisson_cavi):
+        ``E_q[exp(m)] = exp(m + v/2)`` is closed form, so the objective
+        is the true ELBO and ``w = E_q[exp(m)]`` the exact curvature."""
+        w = jnp.exp(jnp.clip(m + 0.5 * var, -20.0, 20.0)) * offd
+        logyfac = jax.lax.lgamma(y0 + 1.0)
+        loglik = jnp.sum(offd * (y0 * m - logyfac) - w)
+        s = (y0 - w + w * m) * offd
+        return loglik, w, s
+
 
 class BernoulliDyadic(_IndependentDirections):
     """Binary ties: ``y_ij ~ Bernoulli(sigmoid(mu_ij))`` (logit link)."""
@@ -132,6 +155,19 @@ class BernoulliDyadic(_IndependentDirections):
 
     def _entry_sample(self, key, mu):
         return jax.random.bernoulli(key, jax.nn.sigmoid(mu))
+
+    def vi_surrogate(self, y0, offd, m, var):
+        """Jaakkola-Jordan bound surrogate
+        (tame.inference.binary_cavi): per-dyad quadratic lower bound,
+        xi-optimal in closed form (``xi^2 = E_q[m^2]``)."""
+        Em2 = m * m + var
+        xi = jnp.sqrt(jnp.maximum(Em2, 1e-12))
+        safe = jnp.maximum(jnp.abs(xi), 1e-6)
+        lam = jnp.tanh(safe / 2.0) / (4.0 * safe) * offd
+        resid = (y0 - 0.5) * offd
+        loglik = jnp.sum(offd * (resid * m - lam * Em2 + xi / 2.0
+                                 - jax.nn.softplus(xi) + lam * xi * xi))
+        return loglik, 2.0 * lam, resid
 
 
 _REGISTRY = {

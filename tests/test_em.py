@@ -328,3 +328,105 @@ class TestSmoothedFamilyEstep:
         st = init_smoothed_state(jax.random.PRNGKey(0), 6, 2, 4)
         with pytest.raises(ValueError, match="family"):
             fit_smoothed_family(Y, p, st, family="banana")
+
+
+class TestCustomFamilyVI:
+    """The vi_surrogate protocol (tame.models.likelihoods): a USER
+    likelihood — Poisson with a known exposure, ~25 lines — gets
+    trajectory-smoothed VI and dynamics EM with no engine changes.
+    This is the 'model DSL reaches the fit layer' guarantee."""
+
+    class ExposurePoisson:
+        """y ~ Poisson(E exp(m)) with known exposure E."""
+
+        name = "exposure_poisson"
+
+        def __init__(self, exposure):
+            self.exposure = float(exposure)
+
+        def sample(self, key, params, mu):
+            n = mu.shape[0]
+            rate = self.exposure * jnp.exp(mu[..., 0])
+            Yf = jax.random.poisson(key, rate).astype(mu.dtype)
+            Yf = Yf * (1.0 - jnp.eye(n))[:, :, None]
+            return jnp.stack([Yf, jnp.swapaxes(Yf, 0, 1)], axis=-1)
+
+        def vi_surrogate(self, y0, offd, m, var):
+            logE = jnp.log(self.exposure)
+            w = self.exposure * jnp.exp(
+                jnp.clip(m + 0.5 * var, -20.0, 20.0)) * offd
+            loglik = jnp.sum(offd * (y0 * (m + logE)
+                                     - jax.lax.lgamma(y0 + 1.0)) - w)
+            s = (y0 - w + w * m) * offd
+            return loglik, w, s
+
+        def warm_transform(self, Y):
+            return jnp.log(Y + 0.5) - jnp.log(self.exposure)
+
+        # static jit argument: hash by configuration
+        def __hash__(self):
+            return hash(("exposure_poisson", self.exposure))
+
+        def __eq__(self, other):
+            return (isinstance(other, type(self))
+                    and other.exposure == self.exposure)
+
+    def _data(self, n=30, T=8, seed=3):
+        from tame.models.temporal_ame import sample_latents
+        from tame.ops import dyad as dyad_ops
+
+        cfg = ModelConfig(n_nodes=n, n_time=T, latent_dim=1,
+                          ar_coefficient=0.8, seed=seed)
+        p = build_params(cfg)
+        fam = self.ExposurePoisson(6.0)
+        X = sample_latents(p, jax.random.PRNGKey(seed), n, T)
+        mu = dyad_ops.dyadic_mean_temporal(X, 1)
+        Y = fam.sample(jax.random.PRNGKey(seed + 1), p, mu)
+        return p, fam, Y, X
+
+    def test_custom_family_vi_recovers_predictor(self):
+        from tame.inference import (
+            fit_smoothed_family,
+            warm_init_smoothed_family,
+        )
+        from tame.ops import dyad as dyad_ops
+
+        p, fam, Y, X = self._data()
+        init = warm_init_smoothed_family(Y, p, fam)
+        out = fit_smoothed_family(Y, p, init, family=fam, max_iter=300,
+                                  learning_rate=0.7, tolerance=1e-5)
+        assert not bool(out.diverged)
+        m_true = np.asarray(dyad_ops.dyadic_fwd_temporal(
+            jnp.asarray(X), 1))
+        m_est = np.asarray(dyad_ops.dyadic_fwd_temporal(
+            out.state.X_mean, 1))
+        off = ~np.eye(30, dtype=bool)
+        corr = np.corrcoef(m_true[off].ravel(), m_est[off].ravel())[0, 1]
+        assert corr > 0.95, corr
+
+    @pytest.mark.slow
+    def test_custom_family_em_recovers_phi(self):
+        p, fam, Y, X = self._data()
+        cfg0 = ModelConfig(n_nodes=30, n_time=8, latent_dim=1,
+                           ar_coefficient=0.3, seed=3)
+        res = fit_em(Y, build_params(cfg0), family=fam, n_em=8,
+                     inner_max_iter=100, learning_rate=0.7,
+                     verbose=False)
+        assert abs(res.history["phi"][-1] - 0.8) < 0.1, \
+            res.history["phi"]
+
+    def test_family_without_surrogate_rejected(self):
+        from tame.inference import fit_smoothed_family
+        from tame.inference.smoothed import init_smoothed_state
+
+        class NoSurrogate:
+            pass
+
+        cfg = ModelConfig(n_nodes=6, n_time=2, latent_dim=1, seed=0)
+        p = build_params(cfg)
+        Y, _ = sample(p, jax.random.PRNGKey(0), 6, 2)
+        st = init_smoothed_state(jax.random.PRNGKey(0), 6, 2, 4)
+        with pytest.raises(ValueError, match="vi_surrogate"):
+            fit_smoothed_family(Y, p, st, family=NoSurrogate())
+        with pytest.raises(ValueError, match="vi_surrogate"):
+            fit_em(Y, p, family=NoSurrogate(), n_em=1)
