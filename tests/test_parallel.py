@@ -68,6 +68,39 @@ class TestShardedFit:
         assert len(out.X_mean.sharding.device_set) == 8
 
     @pytest.mark.slow
+    @pytest.mark.parametrize("family", ["bernoulli", "poisson"])
+    def test_nongaussian_sharded_matches_single_device(self, family):
+        """The weighted (JJ/CVI) engines are plain einsum contractions,
+        so GSPMD shards them with no engine changes: the sharded fit
+        must reproduce the single-device one."""
+        from tame.config import ModelConfig
+        from tame.inference import (
+            cavi,
+            fit_cavi_bernoulli,
+            fit_cavi_poisson,
+        )
+        from tame.models import build_params, sample
+
+        n, T = 32, 8
+        p = build_params(ModelConfig(n_nodes=n, n_time=T, latent_dim=1,
+                                     seed=0))
+        fit = (fit_cavi_bernoulli if family == "bernoulli"
+               else fit_cavi_poisson)
+        Y, _ = sample(p, jax.random.PRNGKey(0), n, T, family=family)
+        init = cavi.init_state(jax.random.PRNGKey(1), n, T, p.d,
+                               "full", 0.1, 0.5)
+        ref = fit(Y, p, init, max_iter=40, tolerance=0.0)
+        mesh = make_mesh(nodes=4, time=2, devices=jax.devices()[:8])
+        Y_s, init_s = shard_fit_inputs(mesh, Y, init)
+        out = fit(Y_s, p, init_s, max_iter=40, tolerance=0.0)
+        assert len(out.X_mean.sharding.device_set) == 8
+        assert np.allclose(np.asarray(ref.X_mean),
+                           np.asarray(out.X_mean), atol=1e-4)
+        eh_r = np.asarray(ref.elbo_history)[:40]
+        eh_o = np.asarray(out.elbo_history)[:40]
+        assert np.allclose(eh_r, eh_o, rtol=1e-4)
+
+    @pytest.mark.slow
     def test_smoothed_sharded_matches_single_device(self):
         """The smoothed (joint-trajectory) engine shards over the nodes
         axis: per-node block-tridiagonal solves are node-local, so the
