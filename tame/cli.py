@@ -278,12 +278,14 @@ def _cmd_learn(args) -> int:
     from tame.inference import fit_em
     from tame.models import build_params, sample
 
+    family = getattr(args, "family", "gaussian")
     cfg = ModelConfig(n_nodes=args.n_nodes, n_time=args.n_time,
                       latent_dim=args.latent_dim,
                       ar_coefficient=args.ar_coefficient,
                       rho_dyadic=args.rho_dyadic, seed=args.seed)
     Y, _ = sample(build_params(cfg), jax.random.PRNGKey(args.seed),
-                  cfg.n_nodes, cfg.n_time)
+                  cfg.n_nodes, cfg.n_time,
+                  family=None if family == "gaussian" else family)
     cfg0 = ModelConfig(n_nodes=args.n_nodes, n_time=args.n_time,
                        latent_dim=args.latent_dim,
                        ar_coefficient=args.start_phi,
@@ -297,16 +299,26 @@ def _cmd_learn(args) -> int:
         mask = random_dyad_mask(jax.random.PRNGKey(args.seed + 1),
                                 args.n_nodes, args.n_time,
                                 args.missing_frac)
-    print(f"True:  phi={cfg.ar_coefficient}  sigma2=0.1  "
-          f"rho={cfg.rho_dyadic}")
-    print(f"Start: phi={args.start_phi}  sigma2={args.start_variance}  "
-          f"rho={args.start_rho}")
+    if family == "gaussian":
+        print(f"True:  phi={cfg.ar_coefficient}  sigma2=0.1  "
+              f"rho={cfg.rho_dyadic}")
+        print(f"Start: phi={args.start_phi}  "
+              f"sigma2={args.start_variance}  rho={args.start_rho}")
+    else:
+        print(f"family={family}: learning phi/Q/Sigma0 (the R M-step "
+              "is Gaussian-specific and skipped)")
+        print(f"True:  phi={cfg.ar_coefficient}   "
+              f"Start: phi={args.start_phi}")
     res = fit_em(Y, build_params(cfg0), n_em=args.n_em, mask=mask,
-                 verbose=True)
+                 family=family, verbose=True)
     h = res.history
-    print(f"Learned after {len(h['elbo'])} EM iterations: "
-          f"phi={h['phi'][-1]:.3f}  sigma2={h['sigma2'][-1]:.4f}  "
-          f"rho={h['rho'][-1]:.3f}")
+    if family == "gaussian":
+        print(f"Learned after {len(h['elbo'])} EM iterations: "
+              f"phi={h['phi'][-1]:.3f}  sigma2={h['sigma2'][-1]:.4f}  "
+              f"rho={h['rho'][-1]:.3f}")
+    else:
+        print(f"Learned after {len(h['elbo'])} EM iterations: "
+              f"phi={h['phi'][-1]:.3f}")
     return 0
 
 
@@ -420,6 +432,11 @@ def build_parser() -> argparse.ArgumentParser:
         "learn",
         help="hyperparameter learning (variational EM) recovery demo")
     _add_model_flags(p)
+    p.add_argument("--family",
+                   choices=["gaussian", "bernoulli", "poisson"],
+                   default="gaussian",
+                   help="observation family (non-Gaussian: the smoothed"
+                        " JJ/CVI E-step learns phi/Q/Sigma0)")
     p.add_argument("--n-em", type=int, default=20)
     p.add_argument("--start-phi", type=float, default=0.3,
                    help="wrong starting AR coefficient")

@@ -289,3 +289,13 @@ def test_sensitivity_missing_frac_sweep(tmp_path, monkeypatch):
     for v in d.values():
         for m in v.values():
             assert np.isfinite(m["mse_mean"])
+
+
+def test_learn_family_subcommand(capsys):
+    from tame.cli import main
+
+    rc = main(["learn", "--family", "poisson", "--n-nodes", "20",
+               "--n-time", "4", "--latent-dim", "1", "--n-em", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "family=poisson" in out and "Learned after" in out
