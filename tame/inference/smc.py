@@ -394,9 +394,11 @@ class TemporalAMESMC:
                                     family=self.family)
             Yd = self.Y
         if stages_per_call is None:
-            return run(self.model.params, Yd, key,
-                       proposal_scale=proposal_scale,
-                       obs_mask=self.mask)
+            out = run(self.model.params, Yd, key,
+                      proposal_scale=proposal_scale,
+                      obs_mask=self.mask)
+            self._warn_if_partial(out)
+            return out
         import numpy as np
 
         res, seg = None, 0
@@ -409,7 +411,29 @@ class TemporalAMESMC:
             ns = int(res.n_stages)
             if ns >= self.num_stages or \
                     float(np.asarray(res.beta_history)[ns - 1]) >= 1.0:
+                self._warn_if_partial(res)
                 return res
+
+    @staticmethod
+    def _warn_if_partial(result: SMCResult) -> None:
+        """The adaptive schedule stops at the stage BUFFER if beta has
+        not reached 1 — the particles then target a tempered posterior
+        and ``log_evidence`` is partial.  Surface that loudly instead
+        of letting a too-small ``num_stages`` silently corrupt
+        downstream comparisons."""
+        import numpy as np
+
+        ns = int(result.n_stages)
+        if ns == 0:
+            return
+        beta = float(np.asarray(result.beta_history)[ns - 1])
+        if beta < 1.0:
+            print(f"WARNING: SMC exhausted its {ns}-stage buffer at "
+                  f"beta={beta:.4f} < 1 — the log-evidence is PARTIAL "
+                  "and the particles target a tempered posterior; "
+                  "raise num_stages (the adaptive schedule needs more "
+                  "room) or continue with "
+                  "run_smc(resume_from=result).", flush=True)
 
     def posterior_mean(self, result: SMCResult) -> Array:
         w = jax.nn.softmax(result.log_weights)

@@ -739,3 +739,19 @@ class TestLikelihoodFamilies:
         # posterior log-odds separate ties from non-ties
         assert mu[m].ravel()[y0[m].ravel() > 0].mean() > \
             mu[m].ravel()[y0[m].ravel() == 0].mean()
+
+
+def test_smc_partial_buffer_warns(tiny, capsys):
+    """A stage buffer too small for the adaptive schedule must warn
+    loudly (partial evidence / tempered posterior), not fail silently."""
+    model, Y, X = tiny
+    smc = TemporalAMESMC(model, num_particles=32, num_stages=2,
+                         num_moves=1, seed=0)
+    result = smc.sample()
+    out = capsys.readouterr().out
+    ns = int(result.n_stages)
+    beta = float(np.asarray(result.beta_history)[ns - 1])
+    if beta < 1.0:
+        assert "PARTIAL" in out
+    else:  # schedule finished within 2 stages: nothing to warn about
+        assert "PARTIAL" not in out
