@@ -550,6 +550,26 @@ class TemporalAMEBernoulliVI:
         m = dyad_ops.dyadic_fwd_temporal(self.X_mean, self.r)
         return jax.nn.sigmoid(m)
 
+    def predict_forward(self, n_steps: int = 1) -> Array:
+        """AR(1) forward forecast of the latent means (n, n_steps, d)
+        from the last fitted time step (cf. the Gaussian engines /
+        reference ``naive_mf.py:386-396``)."""
+        Phi = self.params.Phi
+
+        def step(x, _):
+            x = x @ Phi.T
+            return x, x
+
+        _, preds = jax.lax.scan(step, self.X_mean[:, -1], None,
+                                length=n_steps)
+        return jnp.swapaxes(preds, 0, 1)
+
+    def predict_proba_forward(self, n_steps: int = 1) -> Array:
+        """Forecast tie probabilities (n, n, n_steps): the plug-in
+        sigmoid of the AR(1)-propagated predictor."""
+        Xf = self.predict_forward(n_steps)
+        return jax.nn.sigmoid(dyad_ops.dyadic_fwd_temporal(Xf, self.r))
+
     def get_variational_means(self) -> Array:
         return self.X_mean
 

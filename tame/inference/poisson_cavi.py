@@ -473,6 +473,27 @@ class TemporalAMEPoissonVI:
         m, var = _predictor_moments(state, self.r)
         return jnp.exp(jnp.clip(m + 0.5 * var, -_EXP_CLIP, _EXP_CLIP))
 
+    def predict_forward(self, n_steps: int = 1) -> Array:
+        """AR(1) forward forecast of the latent means (n, n_steps, d)
+        from the last fitted time step (cf. the Gaussian engines /
+        reference ``naive_mf.py:386-396``)."""
+        Phi = self.params.Phi
+
+        def step(x, _):
+            x = x @ Phi.T
+            return x, x
+
+        _, preds = jax.lax.scan(step, self.X_mean[:, -1], None,
+                                length=n_steps)
+        return jnp.swapaxes(preds, 0, 1)
+
+    def predict_rate_forward(self, n_steps: int = 1) -> Array:
+        """Forecast count rates (n, n, n_steps): the plug-in exp of
+        the AR(1)-propagated predictor."""
+        Xf = self.predict_forward(n_steps)
+        m = dyad_ops.dyadic_fwd_temporal(Xf, self.r)
+        return jnp.exp(jnp.clip(m, -_EXP_CLIP, _EXP_CLIP))
+
     def get_variational_means(self) -> Array:
         return self.X_mean
 

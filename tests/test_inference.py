@@ -1892,3 +1892,35 @@ class TestWeightedUpdateGradientExactness:
         # the fixed-xi assembly must match it
         scale = float(jnp.abs(g).max())
         assert float(jnp.abs(implied - g).max()) < 1e-4 * scale + 1e-4
+
+
+def test_nongaussian_forecast_surface():
+    """predict_forward / predict_{proba,rate}_forward on the binary and
+    Poisson engine classes: AR(1) propagation pulls the forecast toward
+    the prior mean (|Phi| < 1), probabilities/rates stay valid."""
+    from tame.inference import (
+        TemporalAMEBernoulliVI,
+        TemporalAMEPoissonVI,
+    )
+    from tame.models import sample_observations
+
+    model = TemporalAMEModel(n_nodes=10, n_time=4, latent_dim=1, seed=0)
+    model.generate_data(return_latents=True)
+    for fam, cls in [("bernoulli", TemporalAMEBernoulliVI),
+                     ("poisson", TemporalAMEPoissonVI)]:
+        model.Y = np.asarray(sample_observations(
+            model.params, jax.random.PRNGKey(1), model.X, family=fam))
+        vi = cls(model)
+        vi.fit(max_iter=40, verbose=False)
+        Xf = np.asarray(vi.predict_forward(3))
+        assert Xf.shape == (10, 3, 4)
+        # contraction toward zero under phi < 1
+        assert np.linalg.norm(Xf[:, 2]) < np.linalg.norm(Xf[:, 0]) + 1e-6
+        if fam == "bernoulli":
+            pf = np.asarray(vi.predict_proba_forward(3))
+            assert pf.shape == (10, 10, 3)
+            assert np.all((pf >= 0) & (pf <= 1))
+        else:
+            rf = np.asarray(vi.predict_rate_forward(3))
+            assert rf.shape == (10, 10, 3)
+            assert np.all(rf >= 0)
