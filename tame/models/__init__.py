@@ -4,6 +4,7 @@ from tame.models.base import BaseAMEModel
 from tame.models.likelihoods import (
     BernoulliDyadic,
     GaussianDyadic,
+    NegativeBinomialDyadic,
     PoissonDyadic,
     get_family,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "BaseAMEModel",
     "BernoulliDyadic",
     "GaussianDyadic",
+    "NegativeBinomialDyadic",
     "PoissonDyadic",
     "build_params",
     "get_family",

@@ -170,6 +170,84 @@ class BernoulliDyadic(_IndependentDirections):
         return loglik, 2.0 * lam, resid
 
 
+class NegativeBinomialDyadic(_IndependentDirections):
+    """Overdispersed count dyads: ``y_ij ~ NegBin(mean exp(mu_ij),
+    dispersion k)`` (log link; variance ``mean + mean^2 / k`` — the
+    workhorse for real network counts, whose variance routinely exceeds
+    the Poisson's).  Needs the dispersion at construction:
+    ``NegativeBinomialDyadic(10.0)`` (smaller k = more overdispersed;
+    k -> inf recovers Poisson), so it is exposed as a class rather than
+    a registry name — pass the INSTANCE as ``family=``.
+
+    The VI surrogate rides the Jaakkola-Jordan machinery: with
+    ``z = m - log k`` the log-likelihood is a scaled logistic,
+
+        log p = y m - (y + k) log k - (y + k) softplus(z) + lgamma terms,
+
+    so the JJ bound ``-softplus(z) >= -z/2 - lam(xi) z^2 + kappa(xi)``
+    with per-dyad weight ``(y + k)`` gives the quadratic surrogate
+    ``w = 2 (y + k) lam(xi)``, ``s = y - (y + k)/2 + w log k``, xi
+    optimal at ``xi^2 = E_q[z^2]`` — a valid ELBO lower bound, like the
+    Bernoulli engine's.
+    """
+
+    def __init__(self, dispersion: float):
+        self.dispersion = float(dispersion)
+        if self.dispersion <= 0:
+            raise ValueError("dispersion must be > 0")
+
+    @property
+    def name(self):
+        return f"negbin(k={self.dispersion:g})"
+
+    def _entry_log_prob(self, y, mu):
+        k = self.dispersion
+        z = mu - jnp.log(k)
+        return (y * mu - (y + k) * jnp.log(k)
+                - (y + k) * jax.nn.softplus(z)
+                + jax.lax.lgamma(y + k) - jax.lax.lgamma(k)
+                - jax.lax.lgamma(y + 1.0))
+
+    def _entry_sample(self, key, mu):
+        # Poisson-Gamma mixture: rate ~ Gamma(k, scale=exp(mu)/k)
+        k = self.dispersion
+        kg, kp = jax.random.split(key)
+        g = jax.random.gamma(kg, k, mu.shape) * jnp.exp(mu) / k
+        return jax.random.poisson(kp, g)
+
+    def vi_surrogate(self, y0, offd, m, var):
+        k = self.dispersion
+        c = jnp.log(k)
+        z = m - c
+        Ez2 = z * z + var
+        xi = jnp.sqrt(jnp.maximum(Ez2, 1e-12))
+        safe = jnp.maximum(jnp.abs(xi), 1e-6)
+        lam = jnp.tanh(safe / 2.0) / (4.0 * safe)
+        yk = (y0 + k) * offd
+        # bound value at the xi-optimal point (the lam Ez2 and lam xi^2
+        # terms cancel, cf. the Bernoulli engine)
+        loglik = jnp.sum(
+            offd * (y0 * m - yk * c - yk * (0.5 * z - 0.5 * xi
+                                            + jax.nn.softplus(xi))
+                    + jax.lax.lgamma(y0 + k) - jax.lax.lgamma(
+                        jnp.asarray(k))
+                    - jax.lax.lgamma(y0 + 1.0)))
+        w = 2.0 * yk * lam * offd
+        s = (y0 - 0.5 * (y0 + k)) * offd + w * c
+        return loglik, w, s
+
+    def warm_transform(self, Y):
+        return jnp.log(Y + 0.5)
+
+    # static jit argument: hash by configuration
+    def __hash__(self):
+        return hash(("negbin", self.dispersion))
+
+    def __eq__(self, other):
+        return (isinstance(other, NegativeBinomialDyadic)
+                and other.dispersion == self.dispersion)
+
+
 _REGISTRY = {
     "gaussian": GaussianDyadic,
     "poisson": PoissonDyadic,

@@ -430,3 +430,75 @@ class TestCustomFamilyVI:
             fit_smoothed_family(Y, p, st, family=NoSurrogate())
         with pytest.raises(ValueError, match="vi_surrogate"):
             fit_em(Y, p, family=NoSurrogate(), n_em=1)
+
+
+class TestNegativeBinomialFamily:
+    """Built-in overdispersed-count family
+    (tame.models.likelihoods.NegativeBinomialDyadic): the JJ bound with
+    data-dependent weights (y + k) gives it VI + EM through the
+    vi_surrogate protocol; sampling is the Poisson-Gamma mixture."""
+
+    def _data(self, k=5.0, n=30, T=8, seed=3):
+        from tame.models import NegativeBinomialDyadic
+        from tame.models.temporal_ame import sample_latents
+        from tame.ops import dyad as dyad_ops
+
+        cfg = ModelConfig(n_nodes=n, n_time=T, latent_dim=1,
+                          ar_coefficient=0.8, seed=seed)
+        p = build_params(cfg)
+        fam = NegativeBinomialDyadic(k)
+        X = sample_latents(p, jax.random.PRNGKey(seed), n, T)
+        mu = dyad_ops.dyadic_mean_temporal(X, 1)
+        Y = fam.sample(jax.random.PRNGKey(seed + 1), p, mu)
+        return p, fam, Y, X
+
+    def test_samples_are_overdispersed(self):
+        p, fam, Y, X = self._data()
+        y0 = np.asarray(Y[..., 0])
+        # NB variance = mean + mean^2/k far exceeds the Poisson's
+        assert y0.var() > 5.0 * y0.mean()
+
+    def test_log_prob_prefers_truth(self):
+        from tame.inference.logprob import make_logdensity_fn
+
+        p, fam, Y, X = self._data()
+        fn = make_logdensity_fn(p, Y, family=fam)
+        noise = 0.1 * jax.random.normal(jax.random.PRNGKey(9), X.shape)
+        assert float(fn(jnp.asarray(X))) > float(fn(noise))
+
+    def test_vi_recovers_predictor(self):
+        from tame.inference import (
+            fit_smoothed_family,
+            warm_init_smoothed_family,
+        )
+        from tame.ops import dyad as dyad_ops
+
+        p, fam, Y, X = self._data()
+        init = warm_init_smoothed_family(Y, p, fam)
+        out = fit_smoothed_family(Y, p, init, family=fam, max_iter=300,
+                                  learning_rate=0.7, tolerance=1e-5)
+        assert not bool(out.diverged)
+        m_true = np.asarray(dyad_ops.dyadic_fwd_temporal(
+            jnp.asarray(X), 1))
+        m_est = np.asarray(dyad_ops.dyadic_fwd_temporal(
+            out.state.X_mean, 1))
+        off = ~np.eye(30, dtype=bool)
+        corr = np.corrcoef(m_true[off].ravel(), m_est[off].ravel())[0, 1]
+        assert corr > 0.9, corr
+
+    @pytest.mark.slow
+    def test_em_recovers_phi(self):
+        p, fam, Y, X = self._data()
+        cfg0 = ModelConfig(n_nodes=30, n_time=8, latent_dim=1,
+                           ar_coefficient=0.3, seed=3)
+        res = fit_em(Y, build_params(cfg0), family=fam, n_em=8,
+                     inner_max_iter=100, learning_rate=0.7,
+                     verbose=False)
+        assert abs(res.history["phi"][-1] - 0.8) < 0.1, \
+            res.history["phi"]
+
+    def test_invalid_dispersion_rejected(self):
+        from tame.models import NegativeBinomialDyadic
+
+        with pytest.raises(ValueError, match="dispersion"):
+            NegativeBinomialDyadic(-1.0)
