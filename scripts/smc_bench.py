@@ -41,8 +41,11 @@ def main(argv=None):
     ap.add_argument("--particles", type=int, default=256)
     ap.add_argument("--buffer", type=int, default=600,
                     help="adaptive-schedule stage buffer")
-    ap.add_argument("--moves", type=int, default=3)
-    ap.add_argument("--leapfrog", type=int, default=10)
+    # defaults = the settings that produced the recorded SMC_BENCH.json
+    # (moves=3/leapfrog=10 under-mixed at n=64: evidence -238 nats BELOW
+    # the bound; 6x20 lands +96 above, as it must)
+    ap.add_argument("--moves", type=int, default=6)
+    ap.add_argument("--leapfrog", type=int, default=20)
     ap.add_argument("--step-scale", type=float, default=0.5)
     ap.add_argument("--replicates", type=int, default=4)
     ap.add_argument("--stages-per-call", type=int, default=30,
